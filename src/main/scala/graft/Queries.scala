@@ -1,0 +1,627 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.detect.Detector
+import graft.tables.SyntheticWeb
+import graft.frontier.{CrawlConfig, CrawlEngine, RobotsRule}
+
+/** The operator inventory surface (SURVEY.md §2): every implemented operator
+  * exposed as a `(SparkSession, sfDir) => DataFrame` query, with a DuckDB
+  * oracle where the semantics are ANSI-SQL-expressible. Crawl/detect
+  * operators run on the deterministic synthetic web (no external data) and
+  * get rows-only checks.
+  *
+  * All float aggregates are rounded identically on both sides; every
+  * aggregate/computed column is aliased identically in the Spark plan and in
+  * the oracle SQL (driver hash-compares by sorted column name).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // ---------------------------------------------------------------- relational
+
+  /** A-1: hash aggregate with partial (map-side) combine. */
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** W1: TakeOrderedAndProject top-k — no full sort at scale. */
+  private def q2Topk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** W5: the politeness-window shape — per-key row_number <= budget. */
+  private def q3WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  /** J5: the seen-set shape — left anti join. */
+  private def q4AntiJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+
+  /** J6: broadcast hash join of a small dim (robots-table shape). */
+  private def q5BroadcastJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** A-2: Shannon entropy of a per-group value histogram (two-level agg). */
+  private def q6Entropy(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("tc"))
+    counts.join(tot, "o_orderpriority")
+      .withColumn("p", col("c").cast("double") / col("tc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+  }
+
+  /** P7/A-3: group-filter HAVING count >= 5. */
+  private def q7Having(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .filter(col("n_items") >= 5)
+
+  /** A-8: deterministic argmax (max value, then min key among maxes). */
+  private def q8Argmax(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val m = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(max(col("c_acctbal")).as("max_bal"))
+    c.join(m, c("c_nationkey") === m("nk") && c("c_acctbal") === m("max_bal"))
+      .groupBy(col("c_nationkey"), col("max_bal"))
+      .agg(min(col("c_custkey")).as("best_custkey"))
+  }
+
+  /** W4: request-list paging — newest first, offset + limit. */
+  private def q9Paging(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      .offset(10)
+      .limit(20)
+
+  /** §2.6 set ops: union distinct. */
+  private def q10SetUnion(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** W3-analog: running sum window. */
+  private def q11WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "lineitem")
+      .filter(col("l_suppkey") < 50)
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 4))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  /** F2: url host/path parsing (frontier canonicalization building block). */
+  private def q12UrlParse(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"), lit(".example/docs/"),
+        col("doc_id"), lit("?ref=graft")))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"))
+
+  /** §2.10: windowed event aggregation (hourly tumbling — the batch shape of
+    * the streaming agg; the streaming variant lives in graft.streaming).
+    */
+  private def s1WindowedAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** first-event-per-key dedup (deterministic dropDuplicates). */
+  private def s2EventFirst(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_events"))
+
+  // ----------------------------------------------------- training-data ops
+
+  private def tokensCol(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** exact dedup: content-hash groups, keep min doc_id (hash-groupBy — the
+    * 100TB shape: one shuffle on the content hash).
+    */
+  private def d1DedupExact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  private def d2TokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("n_chars"))
+
+  /** language-ID heuristic: script detection + ascii ratio. */
+  private def d3LangId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+          .when(col("text").rlike("[\\x{0400}-\\x{04ff}]"), lit("ru"))
+          .otherwise(lit("en")).as("pred_lang"))
+
+  /** quality scoring: length/punct/stopword signals. */
+  private def d4Quality(s: SparkSession, d: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+"))
+    val stop = size(split(trim(col("text")), "\\b(the|a|of|and|to|in)\\b")) - 1
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        toks.as("n_tokens"),
+        round(length(col("text")).cast("double") / toks, 4).as("avg_tok_len"),
+        stop.cast("long").as("n_stop"),
+        round(least(lit(1.0), toks.cast("double") / 100.0)
+          + least(lit(1.0), stop.cast("double") / 10.0), 4).as("quality"))
+  }
+
+  /** 3-gram word shingles (the dedup unit for minhash/jaccard). */
+  private def shinglesCol(c: Column): Column = {
+    val ts = tokensCol(c)
+    transform(
+      slice(ts, lit(1), greatest(size(ts) - 2, lit(0))),
+      (x, i) => concat_ws(" ", x, element_at(ts, i + 2), element_at(ts, i + 3)))
+  }
+
+  /** MinHash signatures over shingles: per seed b, min over md5(b||':'||sh) —
+    * string-min minhash, identical in any engine with md5. 4 bands, r=1.
+    */
+  private def d5MinhashSig(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(shinglesCol(col("text")))).as("sh"))
+    base.groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
+        min(md5(concat(lit("1:"), col("sh")))).as("sig1"),
+        min(md5(concat(lit("2:"), col("sh")))).as("sig2"),
+        min(md5(concat(lit("3:"), col("sh")))).as("sig3"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any band signature. The
+    * band-bucket join is the 100TB dedup path: shuffle on (band, sig), no
+    * all-pairs comparison.
+    */
+  private def d6LshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = d5MinhashSig(s, d)
+    val bands = sig.select(col("doc_id"), explode(array(
+      concat(lit("b0:"), col("sig0")), concat(lit("b1:"), col("sig1")),
+      concat(lit("b2:"), col("sig2")), concat(lit("b3:"), col("sig3")))).as("band"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (60-bit, from md5 of tokens): bit-majority fingerprint. */
+  private def d7Simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .withColumn("v", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bits = toks
+      .select(col("doc_id"), col("v"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(v, bit) & 1") === 1, 1).otherwise(-1)).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** n-gram Jaccard near-dup verification within source blocks: the verify
+    * stage after LSH blocking (blocking key keeps it off the n^2 path).
+    */
+  private def d8NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shinglesCol(col("text")))).as("sh"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** document fingerprint: md5 of whitespace-normalized lowercase text. */
+  private def t1Fingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+
+  /** brute-force cosine top-k ANN (the exact baseline; e2 is the scale
+    * path). Query set = vec_id < 5; neighbors among the rest. Dot products
+    * in double, sequential order — bit-identical across engines.
+    */
+  private def e1CosineKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    val norm = (x: Column) =>
+      sqrt(aggregate(x, lit(0.0), (acc, z) => acc + z * z))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val c = emb.filter(col("vec_id") >= 5)
+    val scored = q.join(broadcast(c))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN (sign-random-projection): the 100TB path — candidates
+    * meet only inside hyperplane-sign buckets, then exact cosine re-rank.
+    * Hyperplanes derived deterministically from md5 — no RNG state. Rows-only
+    * check (bucketing not ANSI-SQL-expressible succinctly).
+    */
+  private def e2KnnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val dims = 64
+    val nBits = 8
+    // deterministic hyperplanes: component (b, i) ~ uniform [-1, 1) from a hash
+    val planes: Array[Array[Double]] = Array.tabulate(nBits, dims) { (b, i) =>
+      val h = graft.urls.UrlOps.fnv1a64(s"plane:$b:$i")
+      (h.toDouble / Long.MaxValue.toDouble)
+    }
+    val planesBc = s.sparkContext.broadcast(planes)
+    val bucketed = emb.map { case (id, v) =>
+      val ps = planesBc.value
+      var sig = 0
+      var b = 0
+      while (b < nBits) {
+        var dot = 0.0
+        var i = 0
+        while (i < dims && i < v.length) { dot += ps(b)(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1 << b)
+        b += 1
+      }
+      (id, sig, v)
+    }.toDF("vec_id", "bucket", "v")
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    val norm = (x: Column) => sqrt(aggregate(x, lit(0.0), (acc, z) => acc + z * z))
+    val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(dot(col("a.v"), col("b.v")) /
+        (norm(col("a.v")) * norm(col("b.v"))), 6))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"), col("cos"))
+    val w = Window.partitionBy(col("vec_a")).orderBy(desc("cos"), asc("vec_b"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+  }
+
+  /** multimodal plumbing: opaque binary column + typed metadata + stubbed
+    * decode (no image libs offline — the decode is a deterministic fake; the
+    * Spark-side schema/partitioning/batch shape is real). Oracled on the
+    * SQL-expressible metadata.
+    */
+  private def m1MultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    // batch-shaped decode over partitions (mapInPandas analog in Scala):
+    // STUB decoder — derives fake (width, height, n_frames) deterministically
+    // from the bytes; a real codec drops in per batch.
+    blobs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val nBytes = bytes.length.toLong
+        val width = (id % 64) + 1
+        val height = ((id / 64) % 64) + 1
+        (id, nBytes, width, height)
+      }
+    }.toDF("doc_id", "n_bytes", "stub_width", "stub_height")
+  }
+
+  // ------------------------------------------------------------ crawl/detect
+
+  private def c1DetectLists(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = SyntheticWeb.pagesFast(s, nPages = 48, nHosts = 4, nPartitions = 8)
+    Detector.detect(pages)
+      .flatMap(o => o.lists.map(l => (o.url, l.name, l.listSelector,
+        l.fullItemsSelector, math.rint(l.score * 1e6) / 1e6, l.data.size)))
+      .toDF("url", "name", "list_selector", "full_items_selector", "score", "n_rows")
+  }
+
+  private def c2ExtractRows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = SyntheticWeb.pagesFast(s, nPages = 24, nHosts = 4, nPartitions = 8)
+    Detector.detect(pages)
+      .flatMap { o =>
+        o.lists.headOption.toSeq.flatMap { l =>
+          l.data.zipWithIndex.flatMap { case (row, i) =>
+            row.values.toSeq.sortBy(_._1).map { case (k, v) => (o.url, i, k, v) }
+          }
+        }
+      }
+      .toDF("url", "item_idx", "field", "value")
+  }
+
+  /** the byte-identical invariant as a query: extracted text vs oracle text
+    * column; must return 0 mismatches.
+    */
+  private def c3TextParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = SyntheticWeb.pagesFast(s, nPages = 32, nHosts = 4, nPartitions = 8)
+    Detector.detect(pages.map(p => p.copy(text = null)))
+      .map(o => (o.url,
+        o.lists.headOption.map(l =>
+          l.data.flatMap(_.values.get("Field_text_1")).mkString("\n")).getOrElse("")))
+      .toDF("url", "extracted_text")
+      .join(pages.toDF(), Seq("url"))
+      .select(col("url"),
+        (col("extracted_text") === col("text")).as("matches"),
+        length(col("extracted_text")).as("n_chars"))
+  }
+
+  private def c4Pagination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = SyntheticWeb.pagesFast(s, nPages = 24, nHosts = 4, nPartitions = 8)
+    Detector.detect(pages)
+      .flatMap(o => o.pagination.map(p => (o.url, p.selector, p.nextUrl)))
+      .toDF("url", "next_selector", "next_url")
+  }
+
+  /** full frontier-drain crawl (3 rounds, synthetic web, snapshot commits to
+    * a temp dir) — returns per-round lineage counters.
+    */
+  private def c5CrawlRounds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nHosts = 4
+    val pages = SyntheticWeb.pagesFast(s, nPages = 64, nHosts = nHosts, nPartitions = 8)
+      .toDF().cache()
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+    val cfg = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 4, roundSize = 32,
+      maxRounds = 3)
+    val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
+    CrawlEngine.run(s, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir,
+      collectOutputs = false)
+    val m = graft.tables.SnapshotStore.latestManifest(stateDir).get
+    graft.tables.SnapshotStore.read(s, m, "lineage")
+      .filter(col("bucket") === -1)
+      .orderBy(col("round"))
+  }
+
+  // ------------------------------------------------------------------ registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_topk" -> (q2Topk _),
+    "q3_window_rank" -> (q3WindowRank _),
+    "q4_anti_join" -> (q4AntiJoin _),
+    "q5_broadcast_join" -> (q5BroadcastJoin _),
+    "q6_entropy" -> (q6Entropy _),
+    "q7_having" -> (q7Having _),
+    "q8_argmax" -> (q8Argmax _),
+    "q9_paging" -> (q9Paging _),
+    "q10_set_union" -> (q10SetUnion _),
+    "q11_window_running" -> (q11WindowRunning _),
+    "q12_url_parse" -> (q12UrlParse _),
+    "s1_windowed_agg" -> (s1WindowedAgg _),
+    "s2_event_first" -> (s2EventFirst _),
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_token_count" -> (d2TokenCount _),
+    "d3_lang_id" -> (d3LangId _),
+    "d4_quality" -> (d4Quality _),
+    "d5_minhash_sig" -> (d5MinhashSig _),
+    "d6_lsh_pairs" -> (d6LshPairs _),
+    "d7_simhash" -> (d7Simhash _),
+    "d8_ngram_jaccard" -> (d8NgramJaccard _),
+    "t1_fingerprint" -> (t1Fingerprint _),
+    "e1_cosine_knn" -> (e1CosineKnn _),
+    "e2_knn_lsh" -> (e2KnnLsh _),
+    "m1_multimodal_meta" -> (m1MultimodalMeta _),
+    "c1_detect_lists" -> (c1DetectLists _),
+    "c2_extract_rows" -> (c2ExtractRows _),
+    "c3_text_parity" -> (c3TextParity _),
+    "c4_pagination" -> (c4Pagination _),
+    "c5_crawl_rounds" -> (c5CrawlRounds _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q3_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q4_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q5_broadcast_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q6_entropy" ->
+      """WITH counts AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT o_orderpriority, sum(c) AS tc FROM counts GROUP BY 1)
+        |SELECT counts.o_orderpriority,
+        |  round(-sum((c::DOUBLE / tc) * ln(c::DOUBLE / tc)), 6) AS entropy
+        |FROM counts JOIN tot USING (o_orderpriority)
+        |GROUP BY 1""".stripMargin,
+    "q7_having" ->
+      """SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+    "q8_argmax" ->
+      """SELECT c.c_nationkey, m.max_bal, min(c.c_custkey) AS best_custkey
+        |FROM customer c JOIN (
+        |  SELECT c_nationkey AS nk, max(c_acctbal) AS max_bal
+        |  FROM customer GROUP BY 1) m
+        |ON c.c_nationkey = m.nk AND c.c_acctbal = m.max_bal
+        |GROUP BY 1, 2""".stripMargin,
+    "q9_paging" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20 OFFSET 10""".stripMargin,
+    "q10_set_union" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)""".stripMargin,
+    "q11_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 50""".stripMargin,
+    "q12_url_parse" ->
+      """SELECT doc_id,
+        |  regexp_extract('https://' || source || '.example/docs/' || doc_id || '?ref=graft',
+        |    '^https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract('https://' || source || '.example/docs/' || doc_id || '?ref=graft',
+        |    '^https?://[^/?#]+([^?#]*)', 1) AS path
+        |FROM documents""".stripMargin,
+    "s1_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "s2_event_first" ->
+      """SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "d2_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+    "d3_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[\x{0400}-\x{04ff}]') THEN 'ru'
+        |       ELSE 'en' END AS pred_lang
+        |FROM documents""".stripMargin,
+    "d4_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  round(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_tok_len,
+        |  (len(regexp_split_to_array(trim(text), '\b(the|a|of|and|to|in)\b')) - 1)::BIGINT AS n_stop,
+        |  round(least(1.0, len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 100.0)
+        |    + least(1.0, (len(regexp_split_to_array(trim(text), '\b(the|a|of|and|to|in)\b')) - 1)::DOUBLE / 10.0), 4) AS quality
+        |FROM documents""".stripMargin,
+    "d5_minhash_sig" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)]),
+        |  z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS sh FROM toks)
+        |SELECT doc_id,
+        |  min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+        |  min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+        |FROM sh GROUP BY 1""".stripMargin,
+    "d6_lsh_pairs" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)]),
+        |  z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS sh FROM toks),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+        |  min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+        |FROM sh GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 'b0:' || sig0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'b1:' || sig1 FROM sig
+        |  UNION ALL SELECT doc_id, 'b2:' || sig2 FROM sig
+        |  UNION ALL SELECT doc_id, 'b3:' || sig3 FROM sig)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+    "d7_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS v FROM toks),
+        |bits AS (SELECT doc_id, b.range AS bit,
+        |  sum(CASE WHEN (v >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hv, range(0, 60) b GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY 1""".stripMargin,
+    "d8_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |  list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)]),
+        |  z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS sh FROM toks),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN cnt na ON na.doc_id = doc_a
+        |JOIN cnt nb ON nb.doc_id = doc_b
+        |WHERE round(i::DOUBLE / (na.n + nb.n - i), 6) >= 0.8""".stripMargin,
+    "t1_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "e1_cosine_knn" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM emb WHERE vec_id >= 5),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    round(list_dot_product(qv, v) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+        |  FROM q, c),
+        |ranked AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank, cos
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id, cos
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "m1_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  (doc_id % 64) + 1 AS stub_width,
+        |  ((doc_id // 64) % 64) + 1 AS stub_height
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,260 @@
+package graft.detect
+
+import scala.collection.mutable
+import graft.dom.{DomDocument, DomNode}
+import graft.css.CssSelector
+
+/** Per-page node graph + selector machinery — the Spark-side analog of the
+  * reference's GraphLoader (/root/reference/webspot/graph/graph_loader.py).
+  * Everything here runs in-row inside the fused detect map (SURVEY.md §1.2:
+  * pages are embarrassingly parallel, graphs never span pages).
+  */
+object PageGraph {
+  /** script/link/meta + SVG tags excluded from the node table
+    * (graph_loader.py:22-30).
+    */
+  val EscapedTags: Set[String] = Set(
+    "script", "link", "meta",
+    "circle", "clippath", "defs", "ellipse", "g", "image", "line",
+    "lineargradient", "mask", "path", "pattern", "polygon", "polyline",
+    "radialgradient", "rect", "stop", "svg", "text", "tspan")
+
+  val AvailableFeatureKeys: Set[String] = Set("tag", "id", "class", "style")
+
+  def apply(doc: DomDocument, bodyOnly: Boolean = true): Option[PageGraph] = {
+    val rootId =
+      if (bodyOnly) doc.findFirst("body") match {
+        case Some(b) => b
+        case None    => return None // reference raises 'No body tag found'
+      }
+      else 0
+    Some(new PageGraph(doc, rootId))
+  }
+}
+
+final class PageGraph(val doc: DomDocument, val rootId: Int,
+    val embedWalkLength: Int = 8, val dfsDepth: Int = 8) {
+  import PageGraph._
+
+  /** Node ids of the root subtree (root included), document order, escaped
+    * tags dropped (graph_loader.py:126-150). Note: descendants of an escaped
+    * tag are kept (the reference skips only the escaped node itself).
+    */
+  val nodeIds: Array[Int] = {
+    val buf = mutable.ArrayBuffer.empty[Int]
+    def rec(id: Int): Unit = {
+      if (!EscapedTags.contains(doc(id).tag)) buf += id
+      doc.children(id).foreach(rec)
+    }
+    rec(rootId)
+    buf.toArray
+  }
+
+  val n: Int = nodeIds.length
+
+  /** dense index of a node id within nodeIds; -1 when absent (= the
+    * reference's LabelEncoder + nodes_dict miss).
+    */
+  private val idToIdx: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer](n * 2)
+    var i = 0
+    while (i < n) { m.put(nodeIds(i), i); i += 1 }
+    m
+  }
+  def indexOfId(id: Int): Int = {
+    val v = idToIdx.get(id)
+    if (v == null) -1 else v.intValue()
+  }
+  def node(idx: Int): DomNode = doc(nodeIds(idx))
+  def containsId(id: Int): Boolean = idToIdx.containsKey(id)
+
+  /** Per node: one-hot feature names restricted to tag/id/class/style
+    * (graph_loader.py:148-150 + node.py pseudo-class filter).
+    */
+  val nodeFeatureNames: Array[Vector[String]] =
+    nodeIds.map(id => doc(id).featureNames.filter(f =>
+      AvailableFeatureKeys.contains(f.substring(0, f.indexOf('=')))))
+
+  /** DictVectorizer analog: sorted distinct feature names → column index
+    * (sklearn DictVectorizer sorts feature names; graph_loader.py:213).
+    */
+  val featureNames: Array[String] = {
+    val set = mutable.TreeSet.empty[String]
+    nodeFeatureNames.foreach(_.foreach(set += _))
+    set.toArray
+  }
+  val featureIndex: Map[String, Int] = featureNames.zipWithIndex.toMap
+
+  /** Sparse rows: sorted column indices per node (all values 1.0). */
+  val rows: Array[Array[Int]] =
+    nodeFeatureNames.map(fs => fs.map(featureIndex).sorted.toArray)
+
+  /** column sums over the page (A-1). */
+  val featureCounts: Array[Int] = {
+    val c = new Array[Int](featureNames.length)
+    rows.foreach(_.foreach(j => c(j) += 1))
+    c
+  }
+
+  /** children adjacency in dense index space — only edges whose parent is a
+    * kept node (graph_loader.py:217-223 edge_nodes filter).
+    */
+  val childrenIdx: Array[Array[Int]] = {
+    val bufs = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i < n) {
+      val pid = node(i).parentId
+      if (pid >= 0) {
+        val pIdx = indexOfId(pid)
+        if (pIdx >= 0) bufs(pIdx) += i
+      }
+      i += 1
+    }
+    bufs.map(_.toArray)
+  }
+
+  /** node text per reference semantics (graph_loader.py:241-243). */
+  val texts: Array[String] = nodeIds.map(doc(_).nodeText)
+  val textLengths: Array[Int] = texts.map(t => if (t == null) 0 else t.length)
+
+  /** nodes (kept) with a given parent id, document order
+    * (graph_loader.py:285-286) — note escaped-tag children are invisible here,
+    * matching the reference's nodes_ scan.
+    */
+  def childrenOfId(parentId: Int): Array[Int] = {
+    val pIdx = indexOfId(parentId)
+    if (pIdx >= 0) childrenIdx(pIdx).map(nodeIds)
+    else nodeIds.filter(id => doc(id).parentId == parentId)
+  }
+
+  /** DFS descendants of a node, depth ≤ dfsDepth, grouped-by-parent in
+    * preorder-of-first-visit — mirrors networkx dfs_successors flattening
+    * (graph_loader.py:263-276): dict parent → discovered children, flattened.
+    */
+  def descendantsIdx(idx: Int): Array[Int] = {
+    val groups = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
+    val visited = mutable.BitSet(idx)
+    def dfs(cur: Int, depth: Int): Unit = {
+      if (depth >= dfsDepth) return
+      childrenIdx(cur).foreach { c =>
+        if (!visited.contains(c)) {
+          visited += c
+          groups.getOrElseUpdate(cur, mutable.ArrayBuffer.empty) += c
+          dfs(c, depth + 1)
+        }
+      }
+    }
+    dfs(idx, 0)
+    groups.valuesIterator.flatten.toArray
+  }
+
+  def descendantsOfId(id: Int): Array[Int] = {
+    val idx = indexOfId(id)
+    if (idx < 0) Array.empty else descendantsIdx(idx)
+  }
+
+  // ---- unique-feature machinery (graph_loader.py:288-333) ----
+  // All vectorized features already have available keys, so
+  // unique_available == unique (count == 1 columns).
+  /** node id → has a page-unique feature (membership is all the reference
+    * uses; graph_loader.py:421).
+    */
+  lazy val uniqueFeatureNodeIds: Set[Int] = {
+    val out = mutable.Set.empty[Int]
+    var i = 0
+    while (i < n) {
+      if (rows(i).exists(j => featureCounts(j) == 1)) out += nodeIds(i)
+      i += 1
+    }
+    out.toSet
+  }
+
+  // ---- selector repr + path (graph_loader.py:335-433) ----
+
+  private def previousSiblings(nd: DomNode): Int = {
+    // kept nodes with same parent, same tag, smaller id (graph_loader.py:335-338)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val m = node(i)
+      if (m.parentId == nd.parentId && m.id < nd.id && m.tag == nd.tag) c += 1
+      i += 1
+    }
+    c
+  }
+
+  private def previousSiblingsWithClasses(nd: DomNode): Int = {
+    val classes = nd.featureClasses.toSet
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val m = node(i)
+      if (m.parentId == nd.parentId && m.id < nd.id && m.tag == nd.tag &&
+        classes.subsetOf(m.featureClasses.toSet)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** node is last among its parent's *kept* children (graph_loader.py:347-350). */
+  private def isLastChild(nd: DomNode): Boolean = {
+    val siblings = childrenOfId(nd.parentId)
+    siblings.nonEmpty && siblings.last == nd.id
+  }
+
+  private val reprCache = mutable.Map.empty[(Int, Boolean, Boolean), String]
+
+  def selectorRepr(nd: DomNode, numbered: Boolean = true, noId: Boolean = false): String =
+    reprCache.getOrElseUpdate((nd.id, numbered, noId), selectorReprUncached(nd, numbered, noId))
+
+  private def selectorReprUncached(nd: DomNode, numbered: Boolean, noId: Boolean): String = {
+    val fid = nd.featureId.orNull
+    val classes = nd.featureClasses
+    if (fid != null && !noId && CssSelector.isValidIdent(fid)) {
+      s"${nd.tag}#$fid"
+    } else if (classes.nonEmpty && classes.forall(CssSelector.isValidIdent)) {
+      if (numbered) {
+        val length = previousSiblingsWithClasses(nd) + 1
+        if (length > 1) {
+          if (isLastChild(nd)) return s"${nd.tag}.${classes.mkString(".")}:last-child"
+          return s"${nd.tag}.${classes.mkString(".")}:nth-of-type($length)"
+        }
+      }
+      s"${nd.tag}.${classes.mkString(".")}"
+    } else {
+      if (numbered) {
+        val length = previousSiblings(nd) + 1
+        if (length > 1) {
+          if (isLastChild(nd)) return s"${nd.tag}:last-child"
+          return s"${nd.tag}:nth-of-type($length)"
+        }
+      }
+      nd.tag
+    }
+  }
+
+  /** `>`-joined ancestor path with unique-feature and root-id stop conditions
+    * (graph_loader.py:398-433) — the correctness-critical function (F10).
+    */
+  def selectorPath(startNode: DomNode, rootIdOpt: Option[Int] = None,
+      numbered: Boolean = true, noId: Boolean = false): String = {
+    var nd = startNode
+    if (nd.parentId < 0) return selectorRepr(nd, numbered, noId)
+    val path = mutable.ArrayBuffer(selectorRepr(nd, numbered, noId))
+    var loop = true
+    while (loop && nd.parentId >= 0) {
+      val parentOpt = if (containsId(nd.parentId)) Some(doc(nd.parentId)) else None
+      (rootIdOpt, parentOpt) match {
+        case (Some(r), Some(p)) if p.id == r => loop = false
+        case (_, None) => loop = false
+        case (_, Some(p)) if !noId && uniqueFeatureNodeIds.contains(p.id) =>
+          path.insert(0, selectorRepr(p, numbered, noId))
+          loop = false
+        case (_, Some(p)) =>
+          path.insert(0, selectorRepr(p, numbered, noId))
+          nd = p
+      }
+    }
+    path.mkString(" > ")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.dom
+
+/** DOM model for the per-page detection pipeline.
+  *
+  * Mirrors the node-table shape the reference builds from
+  * `html_to_json_enhanced.convert(html, with_id=True)` (see
+  * /root/reference/webspot/graph/graph_loader.py:194-205): every element gets a
+  * document-order integer id, a parent id, a tag, an open attribute map where
+  * `class` is multi-valued, and direct text segments.
+  *
+  * Ids are assigned in depth-first document order (parents before children,
+  * siblings in source order) — the only ordering properties the reference's
+  * selector machinery relies on (sibling relative order and parent<child).
+  */
+sealed trait DomContent
+final case class TextSeg(text: String) extends DomContent
+final case class ChildRef(id: Int) extends DomContent
+
+final case class DomNode(
+    id: Int,
+    parentId: Int, // -1 = no parent (document root element)
+    tag: String, // lowercased element name
+    attrs: Vector[(String, String)], // source order, keys lowercased, entities decoded
+    content: Vector[DomContent] // direct children: raw text segments + element refs
+) {
+  def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
+
+  def childIds: Vector[Int] = content.collect { case ChildRef(i) => i }
+
+  /** `class` attribute split on ASCII whitespace (reference: list-valued attr,
+    * graph_loader.py:169-181).
+    */
+  def classTokens: Vector[String] =
+    attr("class").map(_.split("\\s+").toVector.filter(_.nonEmpty)).getOrElse(Vector.empty)
+
+  /** Direct text segments, stripped, empties dropped — the `_text`/`_texts`
+    * fields of the reference's node json (graph_loader.py:183-192).
+    */
+  def directTexts: Vector[String] =
+    content.collect { case TextSeg(t) => t.strip() }.filter(_.nonEmpty)
+
+  /** Reference `_get_node_text`: single text kept as-is, several joined by a
+    * single space, none => null (graph_loader.py:183-192).
+    */
+  def nodeText: String = {
+    val ts = directTexts
+    if (ts.isEmpty) null else ts.mkString(" ")
+  }
+
+  /** Raw (k, v) feature pairs: ('tag', tag) plus flattened attributes, class
+    * exploded per token (webspot/graph/graph_loader.py:166-181).
+    */
+  def rawFeatures: Vector[(String, String)] = {
+    val b = Vector.newBuilder[(String, String)]
+    b += (("tag", tag))
+    attrs.foreach { case (k, v) =>
+      if (k == "class") v.split("\\s+").iterator.filter(_.nonEmpty).foreach(t => b += ((k, t)))
+      else b += ((k, v))
+    }
+    b.result()
+  }
+
+  /** Features with pseudo-class-looking class values dropped
+    * (webspot/graph/models/node.py:15-23).
+    */
+  def features: Vector[(String, String)] =
+    rawFeatures.filterNot { case (k, v) => k == "class" && v.contains(":") }
+
+  /** Distinct one-hot feature names "k=v" (node.py:26-27). */
+  def featureNames: Vector[String] = features.map { case (k, v) => s"$k=$v" }.distinct
+
+  /** class values usable in a CSS selector: no ':' and not digit-leading
+    * (node.py:37-45).
+    */
+  def featureClasses: Vector[String] =
+    features.collect { case ("class", v) if v.nonEmpty && !v.head.isDigit => v }
+
+  def featureId: Option[String] = features.collectFirst { case ("id", v) => v }
+}
+
+/** A parsed page: nodes indexed by id (id == array index). */
+final class DomDocument(val nodes: Array[DomNode]) {
+  def apply(id: Int): DomNode = nodes(id)
+  def size: Int = nodes.length
+
+  /** All descendant+self raw text concatenated in document order — the
+    * equivalent of BeautifulSoup `el.text` used by the reference's extraction
+    * (plain_list.py:268).
+    */
+  def subtreeText(id: Int): String = {
+    val sb = new StringBuilder
+    def rec(i: Int): Unit = nodes(i).content.foreach {
+      case TextSeg(t)  => sb.append(t)
+      case ChildRef(c) => rec(c)
+    }
+    rec(id)
+    sb.result()
+  }
+
+  /** Element children of `id` in document order (full DOM, all tags). */
+  def children(id: Int): Vector[Int] = nodes(id).childIds
+
+  def findFirst(tag: String): Option[Int] = nodes.find(_.tag == tag).map(_.id)
+}

@@ -1,0 +1,255 @@
+package graft.dom
+
+import scala.collection.mutable
+
+/** Minimal HTML5-ish parser producing a [[DomDocument]] with document-order
+  * ids. From-scratch replacement for the reference's external
+  * `html_to_json_enhanced.convert(html, with_id=True)`
+  * (/root/reference/webspot/graph/graph_loader.py:196) — no jsoup/tagsoup on
+  * the offline classpath.
+  *
+  * Handles: doctype, comments, CDATA-as-comment, void elements, rawtext
+  * elements (script/style/textarea/title), single/double/unquoted/bare
+  * attributes, entity decoding (named common set + numeric), implicit closing
+  * of li/p/option/tr/td/th, and unmatched end tags. Designed for well-formed
+  * pages plus common sloppiness (SURVEY.md §7.5 risk 1).
+  */
+object HtmlParser {
+
+  private val VoidTags = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link", "meta",
+    "param", "source", "track", "wbr")
+
+  private val RawTextTags = Set("script", "style", "textarea", "title")
+
+  // tags that implicitly close an open element of the same (or listed) tag
+  private val ImpliedClose: Map[String, Set[String]] = Map(
+    "li" -> Set("li"),
+    "p" -> Set("p"),
+    "option" -> Set("option"),
+    "tr" -> Set("tr", "td", "th"),
+    "td" -> Set("td", "th"),
+    "th" -> Set("td", "th"),
+    "dt" -> Set("dt", "dd"),
+    "dd" -> Set("dt", "dd"))
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "hellip" -> "…", "mdash" -> "—", "ndash" -> "–",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "laquo" -> "«", "raquo" -> "»",
+    "times" -> "×", "middot" -> "·", "bull" -> "•",
+    "rarr" -> "→", "larr" -> "←", "deg" -> "°")
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val decoded: Option[String] =
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.drop(2), 16))))
+              catch { case _: Exception => None }
+            else if (body.startsWith("#"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.drop(1)))))
+              catch { case _: Exception => None }
+            else NamedEntities.get(body)
+          decoded match {
+            case Some(d) => sb.append(d); i = semi + 1
+            case None    => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
+  /** Mutable node under construction. */
+  private final class Building(
+      val id: Int,
+      val parentId: Int,
+      val tag: String,
+      val attrs: Vector[(String, String)]) {
+    val content = Vector.newBuilder[DomContent]
+  }
+
+  def parseBytes(html: Array[Byte]): DomDocument = parse(decodeBytes(html))
+
+  /** Encoding cascade mirroring the reference's utf-8 → gbk → iso-8859-1 →
+    * cp1252 sniff (/root/reference/webspot/request/html_requester.py:53-61).
+    */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    import java.nio.charset._
+    val cascade = Seq("UTF-8", "GBK", "ISO-8859-1", "windows-1252")
+    cascade.iterator.flatMap { name =>
+      try {
+        val dec = Charset.forName(name).newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+      } catch { case _: Exception => None }
+    }.nextOption().getOrElse(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
+  def parse(html: String): DomDocument = {
+    val finished = mutable.ArrayBuffer.empty[Building] // indexed by id
+    val stack = mutable.ArrayBuffer.empty[Building] // open elements
+    var nextId = 0
+
+    def openNode(tag: String, attrs: Vector[(String, String)]): Building = {
+      val parent = if (stack.isEmpty) -1 else stack.last.id
+      val b = new Building(nextId, parent, tag, attrs)
+      nextId += 1
+      finished += b
+      if (parent >= 0) stack.last.content += ChildRef(b.id)
+      b
+    }
+
+    def closeTopUntil(tag: String): Unit = {
+      // find matching open tag; if found, pop through it; else ignore stray end tag
+      val idx = stack.lastIndexWhere(_.tag == tag)
+      if (idx >= 0) stack.remove(idx, stack.length - idx)
+    }
+
+    def addText(t: String): Unit =
+      if (t.nonEmpty && stack.nonEmpty) stack.last.content += TextSeg(decodeEntities(t))
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { addText(html.substring(i)); i = n }
+      else {
+        if (lt > i) addText(html.substring(i, lt))
+        if (lt + 1 >= n) { i = n } // trailing '<'
+        else html.charAt(lt + 1) match {
+          case '!' =>
+            // comment / doctype / cdata
+            if (html.startsWith("<!--", lt)) {
+              val end = html.indexOf("-->", lt + 4)
+              i = if (end < 0) n else end + 3
+            } else {
+              val end = html.indexOf('>', lt)
+              i = if (end < 0) n else end + 1
+            }
+          case '?' =>
+            val end = html.indexOf('>', lt)
+            i = if (end < 0) n else end + 1
+          case '/' =>
+            val end = html.indexOf('>', lt)
+            if (end < 0) { i = n }
+            else {
+              val tag = html.substring(lt + 2, end).trim.toLowerCase
+              closeTopUntil(tag)
+              i = end + 1
+            }
+          case c if c.isLetter =>
+            val (tag, attrs, selfClosed, after) = parseTag(html, lt + 1)
+            i = after
+            // implied closes
+            ImpliedClose.get(tag).foreach { closers =>
+              if (stack.nonEmpty && closers.contains(stack.last.tag))
+                stack.remove(stack.length - 1)
+            }
+            val b = openNode(tag, attrs)
+            val isVoid = VoidTags.contains(tag) || selfClosed
+            if (!isVoid) {
+              if (RawTextTags.contains(tag)) {
+                // consume raw text until matching close tag
+                val closeSeq = "</" + tag
+                val end = indexOfIgnoreCase(html, closeSeq, i)
+                val rawEnd = if (end < 0) n else end
+                val raw = html.substring(i, rawEnd)
+                if (raw.nonEmpty) b.content += TextSeg(raw)
+                if (end < 0) i = n
+                else {
+                  val gt = html.indexOf('>', end)
+                  i = if (gt < 0) n else gt + 1
+                }
+              } else {
+                stack += b
+              }
+            }
+          case _ =>
+            addText("<")
+            i = lt + 1
+        }
+      }
+    }
+
+    val arr = new Array[DomNode](finished.length)
+    finished.foreach { b =>
+      arr(b.id) = DomNode(b.id, b.parentId, b.tag, b.attrs, b.content.result())
+    }
+    new DomDocument(arr)
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    var i = from
+    val max = hay.length - needle.length
+    while (i <= max) {
+      if (hay.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a start tag beginning right after '<'. Returns
+    * (tag, attrs, selfClosed, index-after-'>').
+    */
+  private def parseTag(html: String, start: Int): (String, Vector[(String, String)], Boolean, Int) = {
+    val n = html.length
+    var i = start
+    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-' || html.charAt(i) == ':')) i += 1
+    val tag = html.substring(start, i).toLowerCase
+    val attrs = Vector.newBuilder[(String, String)]
+    var selfClosed = false
+    var done = false
+    while (!done && i < n) {
+      // skip whitespace
+      while (i < n && html.charAt(i).isWhitespace) i += 1
+      if (i >= n) done = true
+      else html.charAt(i) match {
+        case '>' => i += 1; done = true
+        case '/' =>
+          if (i + 1 < n && html.charAt(i + 1) == '>') { selfClosed = true; i += 2; done = true }
+          else i += 1
+        case _ =>
+          // attribute name
+          val nameStart = i
+          while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
+            html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+          val name = html.substring(nameStart, i).toLowerCase
+          // optional '=' value
+          var j = i
+          while (j < n && html.charAt(j).isWhitespace) j += 1
+          if (j < n && html.charAt(j) == '=') {
+            j += 1
+            while (j < n && html.charAt(j).isWhitespace) j += 1
+            if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+              val q = html.charAt(j)
+              val vEnd = html.indexOf(q, j + 1)
+              val value = if (vEnd < 0) html.substring(j + 1) else html.substring(j + 1, vEnd)
+              attrs += ((name, decodeEntities(value)))
+              i = if (vEnd < 0) n else vEnd + 1
+            } else {
+              val vStart = j
+              while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
+              attrs += ((name, decodeEntities(html.substring(vStart, j))))
+              i = j
+            }
+          } else {
+            if (name.nonEmpty) attrs += ((name, "")) // bare attribute
+            i = i.max(nameStart + 1)
+          }
+      }
+    }
+    (tag, attrs.result(), selfClosed, i)
+  }
+}

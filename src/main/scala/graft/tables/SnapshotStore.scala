@@ -1,0 +1,101 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot layer (SURVEY.md §7.3) — no Iceberg runtime jar on
+  * the offline classpath, so we emulate the commit protocol: each table is a
+  * directory of immutable parquet data dirs plus `snapshots/v{N}.json`
+  * manifests committed by atomic rename. Readers resolve the latest manifest;
+  * a crash between data write and manifest rename leaves the previous
+  * snapshot intact (snapshot isolation, crash-resume — north rule C8).
+  *
+  * The API is a seam: `iceberg-spark-runtime` drops in behind
+  * read/commit/latestVersion when available.
+  */
+object SnapshotStore {
+
+  final case class Manifest(version: Int, dataDirs: Map[String, String],
+      counters: Map[String, Long])
+
+  private def snapshotsDir(tableDir: String) = Paths.get(tableDir, "snapshots")
+
+  def latestVersion(tableDir: String): Option[Int] = {
+    val dir = snapshotsDir(tableDir)
+    if (!Files.isDirectory(dir)) return None
+    val versions = Files.list(dir).iterator()
+    var best = -1
+    versions.forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("v") && name.endsWith(".json")) {
+        try { best = math.max(best, name.stripPrefix("v").stripSuffix(".json").toInt) }
+        catch { case _: NumberFormatException => }
+      }
+    }
+    if (best < 0) None else Some(best)
+  }
+
+  // hand-rolled minimal json (flat string/long maps only) — no json lib needed
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  def writeManifest(tableDir: String, m: Manifest): Unit = {
+    val dir = snapshotsDir(tableDir)
+    Files.createDirectories(dir)
+    val data = m.dataDirs.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    val ctrs = m.counters.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString(",")
+    val json = s"""{"version":${m.version},"dataDirs":{$data},"counters":{$ctrs}}"""
+    val tmp = dir.resolve(s".v${m.version}.json.tmp")
+    Files.writeString(tmp, json)
+    // atomic commit: rename tmp -> vN.json
+    Files.move(tmp, dir.resolve(s"v${m.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifest(tableDir: String, version: Int): Manifest = {
+    val json = Files.readString(snapshotsDir(tableDir).resolve(s"v$version.json"))
+    // minimal parser for the flat shape we write
+    def section(name: String): Map[String, String] = {
+      val i = json.indexOf(s""""$name":{""")
+      if (i < 0) return Map.empty
+      val start = json.indexOf('{', i) + 1
+      val end = json.indexOf('}', start)
+      val body = json.substring(start, end).trim
+      if (body.isEmpty) Map.empty
+      else body.split(",").iterator.map { kv =>
+        val c = kv.indexOf(':')
+        val k = kv.take(c).trim.stripPrefix("\"").stripSuffix("\"")
+        val v = kv.drop(c + 1).trim.stripPrefix("\"").stripSuffix("\"")
+        k -> v
+      }.toMap
+    }
+    val ver = {
+      val i = json.indexOf("\"version\":") + 10
+      json.substring(i, json.indexWhere(c => !c.isDigit, i)).toInt
+    }
+    Manifest(ver, section("dataDirs"), section("counters").map { case (k, v) => k -> v.toLong })
+  }
+
+  def latestManifest(tableDir: String): Option[Manifest] =
+    latestVersion(tableDir).map(readManifest(tableDir, _))
+
+  /** Write the dataframes for one snapshot and commit the manifest
+    * atomically. Each logical table gets `data/v{N}/{name}`.
+    */
+  def commit(tableDir: String, version: Int, tables: Map[String, DataFrame],
+      counters: Map[String, Long]): Manifest = {
+    val dataDirs = tables.map { case (name, df) =>
+      val dir = Paths.get(tableDir, "data", s"v$version", name).toString
+      df.write.mode("overwrite").parquet(dir)
+      name -> dir
+    }
+    val m = Manifest(version, dataDirs, counters)
+    writeManifest(tableDir, m)
+    m
+  }
+
+  def read(spark: SparkSession, m: Manifest, name: String): DataFrame =
+    spark.read.parquet(m.dataDirs(name))
+}

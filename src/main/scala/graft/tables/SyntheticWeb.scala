@@ -1,0 +1,206 @@
+package graft.tables
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.detect.Page
+
+/** Deterministic synthetic Common-Crawl-style web (FIXTURES.md §1-4): pages
+  * with an embedded quotes-style repeated list (shape of the reference's
+  * inline fixture at /root/reference/webspot/test/web/routes/api/
+  * test_request.py:19-301), a non-list sidebar, a li.next pagination link, a
+  * footer (second div.container — required so the list path reproduces the
+  * reference golden `body > div.container > div.row:last-child >
+  * div.col-md-8`, test_plain_list.py:9-16), plus a link graph with
+  * Zipf-skewed hosts, disallowed paths and cross-host edges.
+  *
+  * Generation is seeded (seed=42) and runs INSIDE executors
+  * (spark.range().map) — no driver-side materialization, so the same
+  * generator scales to arbitrarily large synthetic frontiers.
+  */
+object SyntheticWeb {
+
+  val Seed = 42L
+  val FixedTs: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private val Authors = Vector("Albert Einstein", "J.K. Rowling", "Jane Austen",
+    "Marilyn Monroe", "André Gide", "Thomas A. Edison", "Eleanor Roosevelt",
+    "Steve Martin", "Mark Twain", "Allen Saunders")
+  private val Words = Vector("world", "life", "choice", "truth", "love", "humor",
+    "books", "change", "thinking", "miracle", "reading", "simile", "inspirational",
+    "attributed", "paraphrased", "misattributed")
+
+  private def mix(parts: Long*): Long = {
+    var h = 0xcbf29ce484222325L ^ Seed
+    parts.foreach { p =>
+      h ^= p
+      h *= 0x100000001b3L
+      h ^= (h >>> 29)
+    }
+    h
+  }
+  private def pick[A](xs: Vector[A], h: Long): A = xs((((h % xs.length) + xs.length) % xs.length).toInt)
+
+  def hostName(h: Int): String = s"host$h.example"
+
+  /** Zipf-ish host for a page index: host 0 takes ~30% of pages (FIXTURES.md:
+    * skew to exercise salting + AQE).
+    */
+  def hostOfPage(i: Long, nHosts: Int): Int = {
+    val r = math.abs(mix(i, 0x5a1fL)) % 100
+    if (r < 30) 0
+    else (math.abs(mix(i, 0x607fL)) % (nHosts - 1)).toInt + 1
+  }
+
+  def pageUrl(host: Int, k: Long): String = s"https://${hostName(host)}/page/$k"
+
+  def quoteText(host: Int, page: Long, item: Int): String = {
+    val h = mix(host.toLong, page, item.toLong)
+    val w1 = pick(Words, h)
+    val w2 = pick(Words, h >> 7)
+    val w3 = pick(Words, h >> 13)
+    s"“The $w1 of $w2 is a process of $w3; it cannot be changed without changing our $w1.”"
+  }
+
+  /** One synthetic quotes-style page. `k` is the page ordinal on its host. */
+  def pageHtml(host: Int, k: Long, nPagesOnHost: Long, nHosts: Int): String = {
+    val hs = hostName(host)
+    val nItems = 5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt // 5..15
+    val sb = new StringBuilder(8192)
+    sb ++= "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n\t<meta charset=\"UTF-8\">\n"
+    sb ++= s"\t<title>Quotes $hs page $k</title>\n"
+    sb ++= "    <link rel=\"stylesheet\" href=\"/static/bootstrap.min.css\">\n</head>\n<body>\n"
+    sb ++= "    <div class=\"container\">\n"
+    sb ++= "        <div class=\"row header-box\">\n"
+    sb ++= s"            <div class=\"col-md-8\">\n                <h1>\n                    <a href=\"/\" style=\"text-decoration: none\">Quotes $hs</a>\n                </h1>\n            </div>\n"
+    sb ++= "            <div class=\"col-md-4\">\n                <p>\n                    <a href=\"/login\">Login</a>\n                </p>\n            </div>\n        </div>\n"
+    sb ++= "<div class=\"row\">\n    <div class=\"col-md-8\">\n"
+    var i = 0
+    while (i < nItems) {
+      val author = pick(Authors, mix(host.toLong, k, i.toLong, 0xa7f0aL))
+      val authorSlug = author.replace(' ', '-').replace(".", "")
+      val nTags = 2 + (math.abs(mix(host.toLong, k, i.toLong, 0x7a65L)) % 4).toInt
+      sb ++= "    <div class=\"quote\" itemscope itemtype=\"http://schema.org/CreativeWork\">\n"
+      sb ++= s"        <span class=\"text\" itemprop=\"text\">${quoteText(host, k, i)}</span>\n"
+      sb ++= s"        <span>by <small class=\"author\" itemprop=\"author\">$author</small>\n"
+      sb ++= s"        <a href=\"/author/$authorSlug\">(about)</a>\n        </span>\n"
+      sb ++= "        <div class=\"tags\">\n            Tags:\n"
+      sb ++= "            <meta class=\"keywords\" itemprop=\"keywords\" content=\"x\" />\n"
+      var t = 0
+      while (t < nTags) {
+        val tag = pick(Words, mix(host.toLong, k, i.toLong, t.toLong))
+        sb ++= s"            <a class=\"tag\" href=\"/tag/$tag/page/1/\">$tag</a>\n"
+        t += 1
+      }
+      sb ++= "        </div>\n    </div>\n"
+      i += 1
+    }
+    // pagination link (next page on the same host, if any)
+    if (k + 1 < nPagesOnHost) {
+      sb ++= "        <nav>\n            <ul class=\"pager\">\n"
+      sb ++= s"                <li class=\"next\">\n                    <a href=\"/page/${k + 1}\">Next <span aria-hidden=\"true\">→</span></a>\n                </li>\n            </ul>\n        </nav>\n"
+    }
+    sb ++= "    </div>\n    <div class=\"col-md-4 tags-box\">\n        <h2>Top Ten tags</h2>\n"
+    // sidebar links: a couple of same-host page links + one cross-host + one disallowed
+    val l1 = math.abs(mix(host.toLong, k, 0x11L)) % nPagesOnHost
+    val l2 = math.abs(mix(host.toLong, k, 0x22L)) % nPagesOnHost
+    sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"/page/$l1\">related</a></span>\n"
+    sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"/page/$l2\">popular</a></span>\n"
+    val xHost = (math.abs(mix(host.toLong, k, 0x33L)) % nHosts).toInt
+    sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"https://${hostName(xHost)}/page/0\">friend</a></span>\n"
+    sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"/private/area$k\">private</a></span>\n"
+    sb ++= "    </div>\n</div>\n    </div>\n"
+    // footer: the SECOND div.container — keeps class=container non-unique so
+    // the selector path walks up to body (reference golden shape)
+    sb ++= "    <footer class=\"footer\">\n        <div class=\"container\">\n            <p class=\"text-muted\">Quotes are synthetic, seed=42.</p>\n        </div>\n    </footer>\n"
+    sb ++= "</body>\n</html>\n"
+    sb.result()
+  }
+
+  /** The reference golden list selector this generator is shaped to
+    * reproduce (test_plain_list.py:9-16).
+    */
+  val GoldenListSelector = "body > div.container > div.row:last-child > div.col-md-8"
+
+  /** Expected extracted text rows (the byte-identical oracle for the `text`
+    * column of the pages table): quote text, author, tag list.
+    */
+  def expectedText(host: Int, k: Long): String = {
+    val nItems = 5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt
+    (0 until nItems).map(i => quoteText(host, k, i)).mkString("\n")
+  }
+
+  /** pages-per-host layout: host 0 gets 30%, rest spread evenly. */
+  def layout(nPages: Long, nHosts: Int): Array[Long] = {
+    val counts = new Array[Long](nHosts)
+    var i = 0L
+    while (i < nPages) { counts(hostOfPage(i, nHosts)) += 1; i += 1 }
+    counts
+  }
+
+  /** Distributed pages table: url, warc_ts, html, text, lang. */
+  def pages(spark: SparkSession, nPages: Long, nHosts: Int = 16,
+      nPartitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    // per-host page counts computed deterministically on each executor from a
+    // closed-form layout (cheap for the sizes we generate here; a production
+    // generator would broadcast the histogram)
+    val counts = layout(nPages, nHosts)
+    val bc = spark.sparkContext.broadcast(counts)
+    spark.range(0, nPages, 1, nPartitions).map { i =>
+      val host = hostOfPage(i, nHosts)
+      // ordinal of page i on its host
+      var k = 0L
+      var j = i - 1
+      // ordinal via deterministic rank: count of earlier pages on same host.
+      // O(i) worst case; fine for test scale. (Bench uses hostPages directly.)
+      while (j >= 0) { if (hostOfPage(j, nHosts) == host) k += 1; j -= 1 }
+      val html = pageHtml(host, k, bc.value(host), nHosts)
+      Page(pageUrl(host, k), FixedTs, html.getBytes("UTF-8"),
+        expectedText(host, k), if (host % 5 == 4) "zh" else "en")
+    }
+  }
+
+  /** O(1)-per-row pages table for benchmarks: pages laid out host-major.
+    * Page i belongs to host via cumulative Zipf weights; ordinal computed in
+    * closed form. Same schema, same html shape.
+    */
+  def pagesFast(spark: SparkSession, nPages: Long, nHosts: Int = 16,
+      nPartitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    // host weights: host0 = 30%, others uniform
+    val cuts = new Array[Long](nHosts + 1)
+    cuts(0) = 0
+    cuts(1) = (nPages * 3) / 10
+    val rest = nPages - cuts(1)
+    var h = 1
+    while (h < nHosts) {
+      cuts(h + 1) = cuts(h) + rest / (nHosts - 1) + (if (h <= (rest % (nHosts - 1))) 1 else 0)
+      h += 1
+    }
+    cuts(nHosts) = nPages
+    val bc = spark.sparkContext.broadcast(cuts)
+    spark.range(0, nPages, 1, nPartitions).map { i =>
+      val c = bc.value
+      var host = java.util.Arrays.binarySearch(c, i)
+      if (host < 0) host = -host - 2
+      if (host >= nHosts) host = nHosts - 1
+      val k = i - c(host)
+      val nOnHost = c(host + 1) - c(host)
+      val html = pageHtml(host, k, nOnHost, nHosts)
+      Page(pageUrl(host, k), FixedTs, html.getBytes("UTF-8"),
+        expectedText(host, k), if (host % 5 == 4) "zh" else "en")
+    }
+  }
+
+  /** robots rules per host (FIXTURES.md §4): /private disallowed everywhere,
+    * host1 additionally disallows /tag.
+    */
+  def robotsRules(nHosts: Int): Seq[(String, Seq[String], Long)] =
+    (0 until nHosts).map { h =>
+      val prefixes = if (h == 1) Seq("/private", "/tag") else Seq("/private")
+      (hostName(h), prefixes, 100L + (h % 3) * 50L)
+    }
+
+  /** seed urls: page 0 of a few hosts. */
+  def seedUrls(nHosts: Int): Seq[String] =
+    (0 until math.min(4, nHosts)).map(h => pageUrl(h, 0))
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+import graft.frontier.{CrawlConfig, CrawlEngine, RobotsRule}
+import graft.tables.{SnapshotStore, SyntheticWeb}
+import graft.urls.UrlOps
+import graft.dom.HtmlParser
+import graft.detect.Detector
+
+/** Crawl-parity + resume tests (SURVEY.md §5.2 items 4-5): the Spark frontier
+  * must reproduce the URL-seen set and per-round drain ordering of an
+  * independent single-threaded simulator implementing the same policy
+  * (BFS rounds, per-host politeness budget, robots, enqueue-time dedup —
+  * scrapy's documented semantics, settings.py:19-22,90).
+  */
+class CrawlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val nHosts = 4
+  val nPages = 40
+  lazy val pageMap: Map[String, Array[Byte]] = {
+    import spark.implicits._
+    SyntheticWeb.pagesFast(spark, nPages, nHosts, 4)
+      .collect().map(p => p.url -> p.html).toMap
+  }
+  val robots: Seq[RobotsRule] =
+    SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
+  val cfg: CrawlConfig = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 3,
+    roundSize = 16, maxRounds = 12)
+
+  /** Reference simulator: same policy, plain collections. */
+  def simulate(): (Set[String], Vector[Vector[String]]) = {
+    val rules = robots.map(r => r.host -> r.disallow_prefixes).toMap
+    val frontier = mutable.SortedSet.empty[(Int, String)] // (depth, url)
+    val seen = mutable.Set.empty[String]
+    SyntheticWeb.seedUrls(nHosts).map(UrlOps.canonicalize).distinct.foreach { u =>
+      frontier += ((0, u)); seen += u
+    }
+    val drains = Vector.newBuilder[Vector[String]]
+    var rounds = 0
+    while (frontier.nonEmpty && rounds < cfg.maxRounds) {
+      // politeness: per-host top budget by (depth asc, url asc); then global
+      // top roundSize by same ordering (priority = -depth)
+      val perHost = mutable.Map.empty[String, Int]
+      val eligible = frontier.toVector.filter { case (_, u) =>
+        val h = UrlOps.hostOf(u)
+        val c = perHost.getOrElse(h, 0)
+        if (c < cfg.hostBudgetPerRound) { perHost(h) = c + 1; true } else false
+      }
+      val drained = eligible.sortBy(identity).take(cfg.roundSize)
+      drains += drained.map(_._2)
+      frontier --= drained
+      // fetch + extract links
+      val cands = mutable.Map.empty[String, (Int, String)] // canon -> (depth, url)
+      drained.foreach { case (depth, u) =>
+        pageMap.get(u).foreach { html =>
+          val doc = HtmlParser.parseBytes(html)
+          Detector.extractLinks(u, doc).foreach { l =>
+            val c = UrlOps.canonicalize(l)
+            val host = UrlOps.hostOf(c)
+            val path = UrlOps.parse(c).path
+            val allowed = !rules.getOrElse(host, Seq.empty).exists(path.startsWith)
+            if (allowed) {
+              val e = (depth + 1, c)
+              cands.get(c) match {
+                case Some(old) if old._1 < e._1 ||
+                  (old._1 == e._1 && old._2 <= e._2) => // keep old
+                case _ => cands(c) = e
+              }
+            }
+          }
+        }
+      }
+      cands.values.foreach { case (d, c) =>
+        if (!seen.contains(c)) { seen += c; frontier += ((d, c)) }
+      }
+      rounds += 1
+    }
+    (seen.toSet, drains.result())
+  }
+
+  test("spark crawl matches the simulator's URL-seen set and drain ordering") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-crawlspec-").toString
+    val stats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      robots, cfg, stateDir)
+
+    val (simSeen, simDrains) = simulate()
+
+    // final URL-seen set: compare via hashes (engine stores hashes)
+    val m = SnapshotStore.latestManifest(stateDir).get
+    val engineSeen = SnapshotStore.read(spark, m, "seen")
+      .select("url_hash").as[Long].collect().toSet
+    val simSeenHashes = simSeen.map(UrlOps.fnv1a64)
+    assert(engineSeen == simSeenHashes,
+      s"seen mismatch: engine=${engineSeen.size} sim=${simSeenHashes.size}")
+
+    // per-round drain ordering: outputs snapshot per round records fetched urls
+    val simFetchedPerRound = simDrains.map(_.filter(pageMap.contains))
+    for (r <- simFetchedPerRound.indices) {
+      val v = r + 1
+      val mr = SnapshotStore.readManifest(stateDir, v)
+      val fetched = SnapshotStore.read(spark, mr, "outputs")
+        .select("url").as[String].collect().toSet
+      assert(fetched == simFetchedPerRound(r).toSet,
+        s"round $r fetched mismatch")
+    }
+    assert(stats.fetched == simFetchedPerRound.map(_.size).sum)
+    assert(stats.rounds == simDrains.size)
+  }
+
+  test("crawl is resumable from the latest snapshot with identical final state") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
+
+    // full run
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-full-").toString
+    val fullStats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      robots, cfg, fullDir)
+
+    // interrupted run: only 2 rounds, then resume with full budget
+    val partDir = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      robots, cfg.copy(maxRounds = 2), partDir)
+    // simulate crash: a torn uncommitted write must be invisible
+    val resumedStats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      robots, cfg, partDir)
+
+    assert(resumedStats.fetched == fullStats.fetched)
+    assert(resumedStats.extractedRows == fullStats.extractedRows)
+    assert(resumedStats.seenSize == fullStats.seenSize)
+    val fullSeen = SnapshotStore.read(spark,
+      SnapshotStore.latestManifest(fullDir).get, "seen")
+      .select("url_hash").as[Long].collect().toSet
+    val resumedSeen = SnapshotStore.read(spark,
+      SnapshotStore.latestManifest(partDir).get, "seen")
+      .select("url_hash").as[Long].collect().toSet
+    assert(fullSeen == resumedSeen)
+  }
+
+  test("robots filter blocks disallowed prefixes") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-robots-").toString
+    CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
+    val m = SnapshotStore.latestManifest(stateDir).get
+    val frontierUrls = SnapshotStore.read(spark, m, "frontier")
+      .select("url").as[String].collect()
+    assert(!frontierUrls.exists(_.contains("/private")),
+      "disallowed /private urls must never be enqueued")
+    // lineage recorded robots blocks
+    val lineage = SnapshotStore.read(spark, m, "lineage")
+    import org.apache.spark.sql.functions._
+    val blocked = lineage.filter(col("bucket") === -1)
+      .agg(sum("robots_blocked")).as[Long].head()
+    assert(blocked > 0)
+  }
+}
