@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // the fused per-page detect map is allocation-heavy; GC choice measurably
+  // moves 8->32-thread scaling. AlwaysPreTouch matters on this VM: lazily
+  // first-touched heap pages turn young collections into multi-second
+  // page-fault storms (observed 9-14s young pauses without it).
+  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
+  s"-Xmn${sys.env.getOrElse("GRAFT_YOUNG_GEN", "4g")}",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -98,8 +98,50 @@ object Numeric {
     * |N| >= minSamples (self included), clusters labeled in order of first
     * core point in index order, border points claimed by the first expanding
     * cluster. Returns labels (-1 = noise).
+    *
+    * Implementation: rows are deduplicated first and DBSCAN runs weighted
+    * over the unique vectors (duplicate rows have identical neighborhoods,
+    * core status, and labels — the repeated-list items that matter here ARE
+    * exact duplicates, so this cuts the O(n^2 d) scan quadratically without
+    * changing the result).
     */
   def dbscan(x: Array[Array[Double]], eps: Double, minSamples: Int): Array[Int] = {
+    val n = x.length
+    if (n == 0) return Array.empty
+    // dedup rows preserving first-occurrence order
+    final class Key(val row: Array[Double]) {
+      override val hashCode: Int = java.util.Arrays.hashCode(row)
+      override def equals(o: Any): Boolean = o match {
+        case k: Key => java.util.Arrays.equals(row, k.row)
+        case _ => false
+      }
+    }
+    val uniqIndex = new java.util.HashMap[Key, Integer](n * 2)
+    val rowToUniq = new Array[Int](n)
+    val uniqRows = new scala.collection.mutable.ArrayBuffer[Array[Double]]
+    val counts = new scala.collection.mutable.ArrayBuffer[Int]
+    var i = 0
+    while (i < n) {
+      val k = new Key(x(i))
+      val existing = uniqIndex.get(k)
+      if (existing == null) {
+        uniqIndex.put(k, uniqRows.length)
+        rowToUniq(i) = uniqRows.length
+        uniqRows += x(i)
+        counts += 1
+      } else {
+        rowToUniq(i) = existing
+        counts(existing) += 1
+      }
+      i += 1
+    }
+    val uniqLabels = dbscanWeighted(uniqRows.toArray, counts.toArray, eps, minSamples)
+    Array.tabulate(n)(j => uniqLabels(rowToUniq(j)))
+  }
+
+  /** DBSCAN over unique vectors with multiplicities. */
+  def dbscanWeighted(x: Array[Array[Double]], weight: Array[Int],
+      eps: Double, minSamples: Int): Array[Int] = {
     val n = x.length
     val labels = Array.fill(n)(-1)
     if (n == 0) return labels
@@ -124,7 +166,11 @@ object Numeric {
       }
       out
     }
-    val core = Array.tabulate(n)(i => neighbors(i).length >= minSamples)
+    val core = Array.tabulate(n)(i => {
+      var w = 0L
+      neighbors(i).foreach(j => w += weight(j))
+      w >= minSamples
+    })
     var cluster = 0
     var i = 0
     val stack = new scala.collection.mutable.ArrayDeque[Int]

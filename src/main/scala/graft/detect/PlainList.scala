@@ -91,33 +91,65 @@ object PlainList {
     // -1 quirk, preserved). Deterministic, and feature-isomorphic subtrees get
     // exactly identical vectors — the signal DBSCAN (eps=0.01) needs.
     val x2 = Array.ofDim[Double](n, d)
-    val PAD = -1
+    // scratch probability vectors reused across all start nodes (index n =
+    // the PAD absorbing state); zero-allocation inner loop
+    val PAD = n
+    val cur = new Array[Double](n + 1)
+    val nxt = new Array[Double](n + 1)
+    var curTouched = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var nxtTouched = new scala.collection.mutable.ArrayBuffer[Int](64)
     var i = 0
     while (i < n) {
       val acc = x2(i)
-      var dist = scala.collection.mutable.HashMap[Int, Double](i -> 1.0)
+      curTouched.clear()
+      cur(i) = 1.0
+      curTouched += i
       var step = 0
       while (step <= EmbedWalkLength) {
-        // accumulate expected features at this step
-        dist.foreach { case (node, p) =>
+        var t = 0
+        while (t < curTouched.length) {
+          val node = curTouched(t)
+          val p = cur(node)
           val row = if (node == PAD) base(n - 1) else base(node)
           var j = 0
           while (j < d) { acc(j) += p * row(j); j += 1 }
+          t += 1
         }
         if (step < EmbedWalkLength) {
-          val next = scala.collection.mutable.HashMap.empty[Int, Double]
-          dist.foreach { case (node, p) =>
-            if (node == PAD) next.update(PAD, next.getOrElse(PAD, 0.0) + p)
-            else {
+          nxtTouched.clear()
+          t = 0
+          while (t < curTouched.length) {
+            val node = curTouched(t)
+            val p = cur(node)
+            if (node == PAD || g.childrenIdx(node).isEmpty) {
+              if (nxt(PAD) == 0.0) nxtTouched += PAD
+              nxt(PAD) += p
+            } else {
               val kids = g.childrenIdx(node)
-              if (kids.isEmpty) next.update(PAD, next.getOrElse(PAD, 0.0) + p)
-              else {
-                val pc = p / kids.length
-                kids.foreach(c => next.update(c, next.getOrElse(c, 0.0) + pc))
+              val pc = p / kids.length
+              var k = 0
+              while (k < kids.length) {
+                val c = kids(k)
+                if (nxt(c) == 0.0) nxtTouched += c
+                nxt(c) += pc
+                k += 1
               }
             }
+            cur(node) = 0.0 // reset scratch as we go
+            t += 1
           }
-          dist = next
+          // swap
+          val tmpT = curTouched; curTouched = nxtTouched; nxtTouched = tmpT
+          var s = 0
+          while (s < curTouched.length) {
+            val node = curTouched(s)
+            val tmp = nxt(node); nxt(node) = 0.0; cur(node) = tmp
+            s += 1
+          }
+        } else {
+          // clear remaining scratch
+          t = 0
+          while (t < curTouched.length) { cur(curTouched(t)) = 0.0; t += 1 }
         }
         step += 1
       }

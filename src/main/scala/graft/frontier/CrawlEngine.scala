@@ -48,9 +48,17 @@ final case class CrawlConfig(
     roundSize: Int = 10000,
     maxRounds: Int = 64,
     allowedHosts: Set[String] = Set.empty, // empty = all (C2/P13 allow-domains)
-    filterCapacityPerBucket: Long = 1L << 16)
+    filterCapacityPerBucket: Long = 1L << 16,
+    // the drained round is always <= roundSize small rows vs a huge pages
+    // table: broadcast it so the fetch join never shuffles html bytes.
+    // Above this limit fall back to a shuffled join (AQE skew handling).
+    broadcastDrainLimit: Int = 2_000_000,
+    // detailed per-stage counters cost extra count() jobs per round; turn off
+    // for throughput benchmarks (fetched/extracted/new are always recorded)
+    lineageDetail: Boolean = true)
 
 final case class CrawlStats(rounds: Int, fetched: Long, extractedRows: Long, seenSize: Long)
+final case class RoundStats(drained: Long, fetched: Long, extracted: Long, newUrls: Long)
 
 /** Spark-native URL frontier + fetch scheduler (north rule; SURVEY.md §2.9,
   * §3.3). Each round is one batch Dataset job:
@@ -69,10 +77,21 @@ final case class CrawlStats(rounds: Int, fetched: Long, extractedRows: Long, see
   */
 object CrawlEngine {
 
+  private val debugTiming = sys.env.contains("GRAFT_DEBUG_TIMING")
+  private def timed[A](label: String)(f: => A): A =
+    if (!debugTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[timing] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+
   def entry(url: String, depth: Int, round: Int, numBuckets: Int): FrontierEntry = {
-    val canon = UrlOps.canonicalize(url)
+    val (canon, host) = UrlOps.canonicalParts(url)
     val h = UrlOps.fnv1a64(canon)
-    FrontierEntry(canon, h, UrlOps.hostOf(canon), UrlOps.hostHash(canon),
+    val hh = UrlOps.fnv1a64(host)
+    FrontierEntry(canon, h, host, (hh ^ (hh >>> 32)).toInt,
       (((h % numBuckets) + numBuckets) % numBuckets).toInt, -depth, depth, round)
   }
 
@@ -94,7 +113,7 @@ object CrawlEngine {
       pages: DataFrame, // url, html (+ any other cols)
       robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]],
       cfg: CrawlConfig): (Dataset[FrontierEntry], Dataset[SeenEntry], Dataset[FilterState],
-      Dataset[PageOutput], Dataset[LineageRow]) = {
+      Dataset[PageOutput], Dataset[LineageRow], RoundStats) = {
     import spark.implicits._
 
     // --- politeness window (C5/W5): per-host budget per round ---
@@ -103,18 +122,37 @@ object CrawlEngine {
     val ranked = frontier.withColumn("rn", row_number().over(w))
     val eligible = ranked.filter($"rn" <= cfg.hostBudgetPerRound).drop("rn").as[FrontierEntry]
 
-    // --- global priority drain (C6/W5): top roundSize -> TakeOrdered ---
-    val drained = eligible
+    // --- global priority drain (C6/W5) ---
+    // Exact top-k, scale-safe: a bare orderBy().limit(k) would collapse the
+    // result to ONE partition and serialize everything downstream (fetch
+    // join + detect on a single task). Instead: TakeOrdered over NARROW sort
+    // keys only, then semi-join back — the join shuffle restores
+    // parallelism and only ~k keys ever pass through a single task.
+    val drainKeys = eligible
+      .select($"url_hash", $"priority", $"depth", $"url")
       .orderBy(desc("priority"), asc("depth"), asc("url"))
       .limit(cfg.roundSize)
+      .select($"url_hash")
+    val drained = eligible
+      .join(drainKeys, Seq("url_hash"), "left_semi")
+      .as[FrontierEntry]
       .persist()
-    val drainedKeys = drained.select($"url_hash").persist()
+    val drainedKeys = drained.select($"url_hash")
 
-    val politenessDeferred = frontier.count() - drained.count()
+    val drainedTotal = timed("drain")(drained.count())
+    val politenessDeferred =
+      if (cfg.lineageDetail) frontier.count() - drainedTotal else -1L
 
-    // --- "fetch" (J4): drained ⨝ pages on url (AQE skew-join for hot hosts) ---
-    val fetched = drained.select($"url", $"depth")
-      .join(pages.select($"url", $"html"), Seq("url"))
+    // --- "fetch" (J4): drained ⨝ pages on url ---
+    // html bytes dominate the row size: broadcast the (small) drained keys
+    // and stream the pages scan so no html ever crosses a shuffle; beyond
+    // the broadcast limit fall back to a shuffled join (AQE skew handling)
+    val drainedSide = drained.select($"url", $"depth")
+    val fetched = (
+      if (cfg.roundSize <= cfg.broadcastDrainLimit)
+        pages.select($"url", $"html").join(broadcast(drainedSide), Seq("url"))
+      else
+        drainedSide.join(pages.select($"url", $"html"), Seq("url")))
       .select($"url", $"depth", $"html")
       .as[(String, Int, Array[Byte])]
 
@@ -130,6 +168,12 @@ object CrawlEngine {
         det.pagination.map(_.nextUrl).orNull, links)
     }.persist()
 
+    // materialize outputs now: one combined agg job for (fetched, extracted);
+    // everything downstream reads the persisted outputs
+    val (fetchedTotal, extractedTotal) = timed("fetch+detect")(outputs
+      .agg(count(lit(1)), coalesce(sum($"n_rows"), lit(0L)))
+      .as[(Long, Long)].head())
+
     // --- candidates (C2): explode links, canonicalize, allow + robots filters ---
     val allowedHosts = cfg.allowedHosts
     val robots = robotsBc
@@ -137,19 +181,28 @@ object CrawlEngine {
     val rawCands = outputs.flatMap(o => o.links.map(l => (l, o.depth + 1)))
       .map { case (u, d) => entry(u, d, roundNo + 1, nb) }
       .filter(e => allowedHosts.isEmpty || allowedHosts.contains(e.host))
-      .persist()
-    val nRawCands = rawCands.count()
-    val cands = rawCands.filter(e => robotsAllowed(robots.value, e.url)).persist()
-    val robotsBlocked = nRawCands - cands.count()
+    val cands = rawCands.filter(e => robotsAllowed(robots.value, e.url))
 
     // --- in-round dedup (min depth wins, then url — deterministic) ---
-    val dedupedCands = cands
-      .groupByKey(_.url_hash)
-      .reduceGroups((a, b) =>
-        if (a.depth < b.depth || (a.depth == b.depth && a.url <= b.url)) a else b)
-      .map(_._2)
-      .persist()
-    val dedupedInRound = cands.count() - dedupedCands.count()
+    // Tungsten-native: min over a (depth, url, ...) struct under hash agg
+    // with partial (map-side) combine — no object serde, no GC churn on the
+    // full candidate volume (struct ordering is lexicographic by field)
+    val dedupedCands = cands.toDF()
+      .groupBy($"url_hash")
+      .agg(min(struct($"depth", $"url", $"host", $"host_hash", $"bucket",
+        $"priority", $"discovered_round")).as("e"))
+      .select($"e.url", $"url_hash", $"e.host", $"e.host_hash", $"e.bucket",
+        $"e.priority", $"e.depth", $"e.discovered_round")
+      .as[FrontierEntry]
+
+    // detailed counters (3 extra jobs) only when lineageDetail is on
+    val (nRawCands, robotsBlocked, dedupedInRound) =
+      if (cfg.lineageDetail) {
+        val raw = rawCands.count()
+        val allowed = cands.count()
+        val deduped = dedupedCands.count()
+        (raw, raw - allowed, allowed - deduped)
+      } else (-1L, -1L, -1L)
 
     // --- seen-set probe (C3): co-partitioned cuckoo cogroup per bucket ---
     val probed = dedupedCands.groupByKey(_.bucket)
@@ -172,7 +225,7 @@ object CrawlEngine {
       // this round (they are already enqueued => already in seen; the
       // anti-join above covers them because seen includes all enqueued urls)
       .persist()
-    val nNew = newEntries.count()
+    val nNew = timed("probe+new")(newEntries.count())
 
     // --- frontier update: deferred leftovers ∪ new candidates ---
     val leftover = frontier.join(drainedKeys, Seq("url_hash"), "left_anti")
@@ -180,7 +233,9 @@ object CrawlEngine {
     val newFrontier = leftover.union(newEntries)
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
-    val newSeen = seen.union(newEntries.map(e => SeenEntry(e.bucket, e.url_hash)))
+    // append-only delta: ONLY the newly-enqueued urls (the full seen set is
+    // the union of all committed deltas — never rewritten)
+    val seenDelta = newEntries.map(e => SeenEntry(e.bucket, e.url_hash))
     val cap = cfg.filterCapacityPerBucket
     val newFilters = newEntries.map(e => SeenEntry(e.bucket, e.url_hash))
       .groupByKey(_.bucket)
@@ -194,12 +249,9 @@ object CrawlEngine {
       }
 
     // --- lineage (A-9): per-bucket counters for this round ---
+    val rn = roundNo
     val drainedByBucket = drained.groupBy($"bucket").agg(count("*").as("drained"))
     val newByBucket = newEntries.groupBy($"bucket").agg(count("*").as("new_urls"))
-    val extractedTotal = outputs.agg(coalesce(sum($"n_rows"), lit(0L))).as[Long].head()
-    val rn = roundNo
-    val drainedTotal = drained.count()
-    val fetchedTotal = outputs.count() // urls that actually resolved in pages
     val lineage = drainedByBucket.join(newByBucket, Seq("bucket"), "full_outer")
       .na.fill(0L)
       .select($"bucket", $"drained", $"new_urls")
@@ -211,9 +263,8 @@ object CrawlEngine {
       .union(Seq(LineageRow(rn, -1, drainedTotal, fetchedTotal, extractedTotal,
         nRawCands, robotsBlocked, dedupedInRound, nNew, politenessDeferred)).toDS())
 
-    rawCands.unpersist()
-    cands.unpersist()
-    (newFrontier, newSeen, newFilters, outputs, lineage)
+    val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
+    (newFrontier, seenDelta, newFilters, outputs, lineage, stats)
   }
 
   /** Run the full crawl with per-round snapshot commits; resumable from the
@@ -232,71 +283,64 @@ object CrawlEngine {
     val robotsBc = spark.sparkContext.broadcast(
       robotsRules.map(r => r.host.toLowerCase -> r.disallow_prefixes).toMap)
 
-    // resume or bootstrap
-    val resume = SnapshotStore.latestManifest(stateDir)
-    var roundNo = resume.flatMap(_.counters.get("round")).map(_.toInt + 1).getOrElse(0)
-    var fetchedTotal = resume.flatMap(_.counters.get("fetched")).getOrElse(0L)
-    var extractedTotal = resume.flatMap(_.counters.get("extracted")).getOrElse(0L)
-
-    var frontier: Dataset[FrontierEntry] = resume match {
-      case Some(m) => SnapshotStore.read(spark, m, "frontier").as[FrontierEntry]
-      case None =>
+    // resume from the latest committed snapshot, or bootstrap a v0 snapshot
+    // from the seeds (so every later commit is uniform: full rewrite for
+    // frontier/filters, append-only delta for seen/lineage)
+    var manifest: SnapshotStore.Manifest = SnapshotStore.latestManifest(stateDir)
+      .getOrElse {
         val seedEntries = seeds.map(u => entry(u, 0, 0, cfg.numBuckets))
           .groupBy(_.url_hash).values.map(_.head).toSeq
-        seedEntries.toDS()
-    }
-    var seen: Dataset[SeenEntry] = resume match {
-      case Some(m) => SnapshotStore.read(spark, m, "seen").as[SeenEntry]
-      case None => frontier.map(e => SeenEntry(e.bucket, e.url_hash))
-    }
-    var filters: Dataset[FilterState] = resume match {
-      case Some(m) => SnapshotStore.read(spark, m, "filters").as[FilterState]
-      case None =>
+        val seedFrontier = seedEntries.toDS()
+        val seedSeen = seedFrontier.map(e => SeenEntry(e.bucket, e.url_hash))
         val cap = cfg.filterCapacityPerBucket
-        seen.groupByKey(_.bucket).mapGroups { (b, ss) =>
+        val filters0 = seedSeen.groupByKey(_.bucket).mapGroups { (b, ss) =>
           val f = CuckooFilter.create(cap)
           ss.foreach(s => f.add(s.url_hash))
           FilterState(b, f.toBytes, f.size)
         }
-    }
-
-    var lineageAcc: Dataset[LineageRow] = resume match {
-      case Some(m) => SnapshotStore.read(spark, m, "lineage").as[LineageRow]
-      case None => spark.emptyDataset[LineageRow]
-    }
+        SnapshotStore.commit(stateDir, 0,
+          Map("frontier" -> seedFrontier.toDF(), "filters" -> filters0.toDF()),
+          Map("round" -> -1L, "fetched" -> 0L, "extracted" -> 0L,
+            "seen" -> seedEntries.length.toLong),
+          deltas = Map(
+            "seen" -> (seedSeen.toDF(), Seq.empty),
+            "lineage" -> (spark.emptyDataset[LineageRow].toDF(), Seq.empty)))
+      }
+    var roundNo = manifest.counters("round").toInt + 1
+    var fetchedTotal = manifest.counters.getOrElse("fetched", 0L)
+    var extractedTotal = manifest.counters.getOrElse("extracted", 0L)
+    var seenTotal = manifest.counters.getOrElse("seen", 0L)
 
     var continue = true
     while (continue && roundNo < cfg.maxRounds) {
-      val frontierCount = frontier.count()
-      if (frontierCount == 0) { continue = false }
+      val frontier = SnapshotStore.read(spark, manifest, "frontier").as[FrontierEntry]
+      val seen = SnapshotStore.read(spark, manifest, "seen").as[SeenEntry]
+      val filters = SnapshotStore.read(spark, manifest, "filters").as[FilterState]
+      val (nf, seenDelta, nfl, outputs, lineage, stats) =
+        round(spark, roundNo, frontier, seen, filters, pages, robotsBc, cfg)
+      if (stats.drained == 0) { continue = false }
       else {
-        val (nf, ns, nfl, outputs, lineage) =
-          round(spark, roundNo, frontier, seen, filters, pages, robotsBc, cfg)
-        val roundFetched = outputs.count()
-        val roundExtracted = outputs.agg(coalesce(sum($"n_rows"), lit(0L))).as[Long].head()
-        fetchedTotal += roundFetched
-        extractedTotal += roundExtracted
-        lineageAcc = lineageAcc.union(lineage)
-        // snapshot commit (atomic manifest rename)
+        fetchedTotal += stats.fetched
+        extractedTotal += stats.extracted
+        seenTotal += stats.newUrls
+        // snapshot commit (atomic manifest rename); seen + lineage are
+        // append-only deltas — the accumulated history is never rewritten
         val tables = Map(
           "frontier" -> nf.toDF(),
-          "seen" -> ns.toDF(),
-          "filters" -> nfl.toDF(),
-          "lineage" -> lineageAcc.toDF()) ++
+          "filters" -> nfl.toDF()) ++
           (if (collectOutputs) Map("outputs" -> outputs.drop("links").toDF()) else Map.empty)
-        val m = SnapshotStore.commit(stateDir, roundNo + 1, tables,
+        manifest = timed("commit")(SnapshotStore.commit(stateDir, roundNo + 1, tables,
           Map("round" -> roundNo.toLong, "fetched" -> fetchedTotal,
-            "extracted" -> extractedTotal))
-        // reload state from the committed snapshot (cuts lineage, bounds plans)
-        frontier = SnapshotStore.read(spark, m, "frontier").as[FrontierEntry]
-        seen = SnapshotStore.read(spark, m, "seen").as[SeenEntry]
-        filters = SnapshotStore.read(spark, m, "filters").as[FilterState]
-        lineageAcc = SnapshotStore.read(spark, m, "lineage").as[LineageRow]
+            "extracted" -> extractedTotal, "seen" -> seenTotal),
+          deltas = Map(
+            "seen" -> (seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")),
+            "lineage" -> (lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage")))))
         outputs.unpersist()
         roundNo += 1
       }
     }
-    val seenSize = seen.count()
-    CrawlStats(roundNo, fetchedTotal, extractedTotal, seenSize)
+    // counter-tracked (the exact table is the union of committed deltas; the
+    // counter avoids an extra count job per run)
+    CrawlStats(roundNo, fetchedTotal, extractedTotal, seenTotal)
   }
 }

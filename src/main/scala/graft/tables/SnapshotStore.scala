@@ -82,20 +82,40 @@ object SnapshotStore {
     latestVersion(tableDir).map(readManifest(tableDir, _))
 
   /** Write the dataframes for one snapshot and commit the manifest
-    * atomically. Each logical table gets `data/v{N}/{name}`.
+    * atomically. Each logical table gets `data/v{N}/{name}`. The per-table
+    * writes are independent jobs — launched concurrently so the Spark
+    * scheduler overlaps them (matters for per-round wall time).
+    *
+    * `tables` are full rewrites. `deltas` are append-only tables: only the
+    * new rows are written; the manifest records previousDirs + deltaDir
+    * (';'-joined), so a snapshot never rewrites the accumulated history —
+    * at 10^10-url scale the seen set and lineage MUST be append-only.
     */
   def commit(tableDir: String, version: Int, tables: Map[String, DataFrame],
-      counters: Map[String, Long]): Manifest = {
-    val dataDirs = tables.map { case (name, df) =>
+      counters: Map[String, Long],
+      deltas: Map[String, (DataFrame, Seq[String])] = Map.empty): Manifest = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = tables.toSeq.map { case (name, df) =>
       val dir = Paths.get(tableDir, "data", s"v$version", name).toString
-      df.write.mode("overwrite").parquet(dir)
-      name -> dir
+      Future { df.write.mode("overwrite").parquet(dir); name -> dir }
+    } ++ deltas.toSeq.map { case (name, (df, prevDirs)) =>
+      val dir = Paths.get(tableDir, "data", s"v$version", name).toString
+      Future {
+        df.write.mode("overwrite").parquet(dir)
+        name -> (prevDirs :+ dir).mkString(";")
+      }
     }
+    val dataDirs = Await.result(Future.sequence(writes), Duration.Inf).toMap
     val m = Manifest(version, dataDirs, counters)
     writeManifest(tableDir, m)
     m
   }
 
+  def dirsOf(m: Manifest, name: String): Seq[String] =
+    m.dataDirs(name).split(";").toSeq
+
   def read(spark: SparkSession, m: Manifest, name: String): DataFrame =
-    spark.read.parquet(m.dataDirs(name))
+    spark.read.parquet(dirsOf(m, name): _*)
 }

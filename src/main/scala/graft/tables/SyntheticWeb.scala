@@ -60,10 +60,15 @@ object SyntheticWeb {
     s"“The $w1 of $w2 is a process of $w3; it cannot be changed without changing our $w1.”"
   }
 
-  /** One synthetic quotes-style page. `k` is the page ordinal on its host. */
-  def pageHtml(host: Int, k: Long, nPagesOnHost: Long, nHosts: Int): String = {
+  /** One synthetic quotes-style page. `k` is the page ordinal on its host.
+    * `weight` scales the item count (weight 1 = 5..15 items, the fixture
+    * default; benchmarks use heavier pages — Common-Crawl pages average tens
+    * of KB, and item count drives both byte size and detect CPU).
+    */
+  def pageHtml(host: Int, k: Long, nPagesOnHost: Long, nHosts: Int,
+      weight: Int = 1): String = {
     val hs = hostName(host)
-    val nItems = 5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt // 5..15
+    val nItems = (5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt) * weight
     val sb = new StringBuilder(8192)
     sb ++= "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n\t<meta charset=\"UTF-8\">\n"
     sb ++= s"\t<title>Quotes $hs page $k</title>\n"
@@ -123,8 +128,8 @@ object SyntheticWeb {
   /** Expected extracted text rows (the byte-identical oracle for the `text`
     * column of the pages table): quote text, author, tag list.
     */
-  def expectedText(host: Int, k: Long): String = {
-    val nItems = 5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt
+  def expectedText(host: Int, k: Long, weight: Int = 1): String = {
+    val nItems = (5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt) * weight
     (0 until nItems).map(i => quoteText(host, k, i)).mkString("\n")
   }
 
@@ -164,7 +169,7 @@ object SyntheticWeb {
     * closed form. Same schema, same html shape.
     */
   def pagesFast(spark: SparkSession, nPages: Long, nHosts: Int = 16,
-      nPartitions: Int = 32): Dataset[Page] = {
+      nPartitions: Int = 32, weight: Int = 1): Dataset[Page] = {
     import spark.implicits._
     // host weights: host0 = 30%, others uniform
     val cuts = new Array[Long](nHosts + 1)
@@ -185,9 +190,9 @@ object SyntheticWeb {
       if (host >= nHosts) host = nHosts - 1
       val k = i - c(host)
       val nOnHost = c(host + 1) - c(host)
-      val html = pageHtml(host, k, nOnHost, nHosts)
+      val html = pageHtml(host, k, nOnHost, nHosts, weight)
       Page(pageUrl(host, k), FixedTs, html.getBytes("UTF-8"),
-        expectedText(host, k), if (host % 5 == 4) "zh" else "en")
+        expectedText(host, k, weight), if (host % 5 == 4) "zh" else "en")
     }
   }
 

@@ -157,6 +157,25 @@ object UrlOps {
   /** 64-bit deterministic url hash for the seen-set / partition keys. */
   def urlHash64(url: String): Long = fnv1a64(canonicalize(url))
 
+  /** (canonical url, lowercase host) with a single parse — the frontier
+    * canonicalizes millions of candidate urls per round, so one-pass matters.
+    */
+  def canonicalParts(url: String): (String, String) = {
+    val p = parse(url)
+    val scheme = p.scheme.toLowerCase
+    val host = p.host.toLowerCase
+    val port = p.port match {
+      case Some(pt) if DefaultPorts.get(scheme).contains(pt) => ""
+      case Some(pt) => s":$pt"
+      case None => ""
+    }
+    val path = if (p.path.isEmpty) "/" else removeDotSegments(p.path)
+    val query =
+      if (p.query.isEmpty) ""
+      else "?" + p.query.split("&", -1).filter(_.nonEmpty).sorted.mkString("&")
+    (s"$scheme://$host$port$path$query", host)
+  }
+
   def hostOf(url: String): String = parse(url).host.toLowerCase
 
   def hostHash(url: String): Int = {
