@@ -354,6 +354,53 @@ object Queries {
     }.toDF("doc_id", "n_bytes", "stub_width", "stub_height")
   }
 
+  /** native Catalyst url expressions (F1/F15): canonicalize/host/resolve stay
+    * in whole-stage codegen. Urls constructed so the canonical form is
+    * SQL-reconstructable for the oracle.
+    */
+  private def f1UrlFunctions(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions._
+    t(s, d, "documents")
+      .withColumn("url", concat(lit("HTTPS://"), upper(col("source")),
+        lit(".EXAMPLE:443/docs/"), col("doc_id"), lit("?b=2&a=1#frag")))
+      .select(col("doc_id"),
+        canonicalize_url(col("url")).as("canon"),
+        url_host(col("url")).as("host"),
+        resolve_url(col("url"), lit("../next")).as("resolved"))
+  }
+
+  /** batch sessionization (30-min gap) — the relational form of the
+    * streaming flatMapGroupsWithState operator (graft.streaming), fully
+    * oracle-checkable.
+    */
+  private def s3Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("brk",
+        when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+          > 30 * 60 * 1000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("duration_ms"))
+  }
+
+  /** streaming hourly aggregation run to completion (Trigger.AvailableNow +
+    * memory sink) — must equal the batch oracle exactly.
+    */
+  private def s4StreamHourly(s: SparkSession, d: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-q-events-")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = graft.streaming.EventStream.readEvents(s, streamDir.toString)
+    graft.streaming.EventStream.runAggToMemory(
+      graft.streaming.EventStream.hourlyAgg(stream),
+      s"stream_hourly_${System.identityHashCode(streamDir)}")
+  }
+
   // ------------------------------------------------------------ crawl/detect
 
   private def c1DetectLists(s: SparkSession, d: String): DataFrame = {
@@ -424,6 +471,31 @@ object Queries {
       .orderBy(col("round"))
   }
 
+  /** highlight + links endpoint surfaces (F13, A-8) over synthetic pages. */
+  private def c6Highlight(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SyntheticWeb.pagesFast(s, nPages = 16, nHosts = 4, nPartitions = 4)
+      .map { p =>
+        val doc = graft.dom.HtmlParser.parseBytes(p.html)
+        val out = Detector.detectDoc(p.url, doc)
+        val highlighted = graft.detect.Highlight.highlight(doc, out.lists, out.pagination)
+        val markers = "webspot-highlight-container".r.findAllIn(highlighted).length
+        (p.url, highlighted.length, markers)
+      }
+      .toDF("url", "html_len", "n_markers")
+  }
+
+  private def c7Links(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    SyntheticWeb.pagesFast(s, nPages = 16, nHosts = 4, nPartitions = 4)
+      .flatMap { p =>
+        graft.api.RequestStore.linkLists(p.url, p.html).flatMap { ll =>
+          ll.links.map(l => (p.url, ll.name, l.url, l.text))
+        }
+      }
+      .toDF("url", "list_name", "link_url", "link_text")
+  }
+
   // ------------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -453,6 +525,11 @@ object Queries {
     "e1_cosine_knn" -> (e1CosineKnn _),
     "e2_knn_lsh" -> (e2KnnLsh _),
     "m1_multimodal_meta" -> (m1MultimodalMeta _),
+    "f1_url_functions" -> (f1UrlFunctions _),
+    "s3_sessionize" -> (s3Sessionize _),
+    "s4_stream_hourly" -> (s4StreamHourly _),
+    "c6_highlight" -> (c6Highlight _),
+    "c7_links" -> (c7Links _),
     "c1_detect_lists" -> (c1DetectLists _),
     "c2_extract_rows" -> (c2ExtractRows _),
     "c3_text_parity" -> (c3TextParity _),
@@ -526,6 +603,32 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "s3_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN date_diff('millisecond', lag(ts) OVER w, ts) > 1800000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING))::BIGINT AS sess
+        |  FROM e)
+        |SELECT user_id, sess, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  date_diff('millisecond', min(ts), max(ts)) AS duration_ms
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "s4_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "f1_url_functions" ->
+      """SELECT doc_id,
+        |  'https://' || lower(source) || '.example/docs/' || doc_id || '?a=1&b=2' AS canon,
+        |  lower(source) || '.example' AS host,
+        |  'https://' || upper(source) || '.EXAMPLE:443/next' AS resolved
+        |FROM documents""".stripMargin,
     "s2_event_first" ->
       """SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_events
         |FROM events GROUP BY 1, 2""".stripMargin,
