@@ -131,6 +131,24 @@ object Queries {
         parse_url(col("url"), lit("HOST")).as("host"),
         parse_url(col("url"), lit("PATH")).as("path"))
 
+  /** P2/P12-style pushdown filters: isin + range predicate + narrow
+    * projection — must reach the parquet scan (PushedFilters/ReadSchema).
+    */
+  private def q13FilterPushdown(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_returnflag").isin("A", "N") &&
+        col("l_quantity") >= 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+
+  /** F6/F16: base64 + JSON serialization of result rows. */
+  private def q14Serialize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        // Spark's base64 chunks with MIME CRLFs; normalize to the plain form
+        regexp_replace(base64(encode(col("text"), "UTF-8")), "\r\n", "").as("b64"),
+        to_json(struct(col("doc_id"), col("lang"))).as("js"))
+
   /** §2.10: windowed event aggregation (hourly tumbling — the batch shape of
     * the streaming agg; the streaming variant lives in graft.streaming).
     */
@@ -511,6 +529,8 @@ object Queries {
     "q10_set_union" -> (q10SetUnion _),
     "q11_window_running" -> (q11WindowRunning _),
     "q12_url_parse" -> (q12UrlParse _),
+    "q13_filter_pushdown" -> (q13FilterPushdown _),
+    "q14_serialize" -> (q14Serialize _),
     "s1_windowed_agg" -> (s1WindowedAgg _),
     "s2_event_first" -> (s2EventFirst _),
     "d1_dedup_exact" -> (d1DedupExact _),
@@ -598,6 +618,14 @@ object Queries {
         |    '^https?://([^/?#]+)', 1) AS host,
         |  regexp_extract('https://' || source || '.example/docs/' || doc_id || '?ref=graft',
         |    '^https?://[^/?#]+([^?#]*)', 1) AS path
+        |FROM documents""".stripMargin,
+    "q13_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N') AND l_quantity >= 45.0""".stripMargin,
+    "q14_serialize" ->
+      """SELECT doc_id, base64(encode(text)) AS b64,
+        |  to_json(struct_pack(doc_id := doc_id, lang := lang)) AS js
         |FROM documents""".stripMargin,
     "s1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
