@@ -196,6 +196,62 @@ object SyntheticWeb {
     }
   }
 
+  /** Books-style page (second fixture family): mirrors books.toscrape.com's
+    * shape — section > unnamed div > ol.row of li > article.product_pod —
+    * whose reference golden list selector is
+    * `section > div:last-child > ol.row`
+    * (/root/reference/webspot/test/detect/test_plain_list.py:18-24). The
+    * unnamed wrapper div exercises the tag-only `:last-child` repr and the
+    * `section` unique-feature stop condition.
+    */
+  def booksPageHtml(host: Int, k: Long, nPagesOnHost: Long): String = {
+    val nItems = 12 + (math.abs(mix(host.toLong, k, 0xb00c5L)) % 9).toInt // 12..20
+    val ratings = Vector("Three", "Four") // two clusters, both >= 5 members
+    val sb = new StringBuilder(8192)
+    sb ++= "<!DOCTYPE html>\n<html lang=\"en-us\"><head><title>Books</title></head>\n<body>\n"
+    sb ++= "<div class=\"container-fluid page\">\n <div class=\"page_inner\">\n  <div class=\"row\">\n"
+    sb ++= "   <div class=\"col-sm-8 col-md-9\">\n    <section>\n"
+    sb ++= "      <div class=\"alert alert-warning\" role=\"alert\">Demo notice</div>\n"
+    sb ++= "      <div>\n        <ol class=\"row\">\n"
+    var i = 0
+    while (i < nItems) {
+      val title = s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177eL)).capitalize} " +
+        s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177fL))} ${k}_$i"
+      val slug = title.toLowerCase.replace(' ', '-')
+      val rating = ratings((math.abs(mix(host.toLong, k, i.toLong, 0x5a7L)) % 2).toInt)
+      val price = 10 + (math.abs(mix(host.toLong, k, i.toLong, 0x9a1ceL)) % 4500) / 100.0
+      sb ++= "          <li class=\"col-xs-6 col-sm-4 col-md-3 col-lg-3\">\n"
+      sb ++= "            <article class=\"product_pod\">\n"
+      sb ++= s"              <div class=\"image_container\"><a href=\"catalogue/$slug/index.html\"><img src=\"media/$slug.jpg\" alt=\"${escAttr(title)}\" class=\"thumbnail\"></a></div>\n"
+      sb ++= s"              <p class=\"star-rating $rating\"><i class=\"icon-star\"></i></p>\n"
+      sb ++= s"              <h3><a href=\"catalogue/$slug/index.html\" title=\"${escAttr(title)}\">$title</a></h3>\n"
+      sb ++= f"              <div class=\"product_price\"><p class=\"price_color\">£$price%.2f</p>\n"
+      sb ++= "                <p class=\"instock availability\"><i class=\"icon-ok\"></i> In stock</p></div>\n"
+      sb ++= "            </article>\n          </li>\n"
+      i += 1
+    }
+    sb ++= "        </ol>\n"
+    if (k + 1 < nPagesOnHost) {
+      sb ++= s"        <div><ul class=\"pager\"><li class=\"current\">Page ${k + 1} of $nPagesOnHost</li>"
+      sb ++= s"<li class=\"next\"><a href=\"catalogue/page-${k + 2}.html\">next</a></li></ul></div>\n"
+    }
+    sb ++= "      </div>\n    </section>\n   </div>\n  </div>\n </div>\n</div>\n</body></html>\n"
+    sb.result()
+  }
+
+  def expectedBookTitles(host: Int, k: Long): Vector[String] = {
+    val nItems = 12 + (math.abs(mix(host.toLong, k, 0xb00c5L)) % 9).toInt
+    (0 until nItems).toVector.map { i =>
+      s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177eL)).capitalize} " +
+        s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177fL))} ${k}_$i"
+    }
+  }
+
+  val GoldenBooksListSelector = "section > div:last-child > ol.row"
+
+  private def escAttr(s: String): String =
+    s.replace("&", "&amp;").replace("\"", "&quot;").replace("<", "&lt;")
+
   /** robots rules per host (FIXTURES.md §4): /private disallowed everywhere,
     * host1 additionally disallows /tag.
     */
