@@ -27,6 +27,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep the global StateStore maintenance thread from ticking against a
+      // torn-down streaming checkpoint mid-bench (stack trace pollutes stdout)
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .getOrCreate()
   }
 

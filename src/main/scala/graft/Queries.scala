@@ -240,36 +240,42 @@ object Queries {
       .distinct()
   }
 
-  /** SimHash (60-bit, from md5 of tokens): bit-majority fingerprint. */
+  /** SimHash (60-bit, from md5 of tokens): bit-majority fingerprint.
+    * ONE hash-agg pass with 60 conditional sums — a per-bit explode would
+    * amplify the token table 60× through the shuffle; here only the 60
+    * partial sums per (partition, doc) cross it (map-side combine).
+    */
   private def d7Simhash(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
       .withColumn("v", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bits = toks
-      .select(col("doc_id"), col("v"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("shiftright(v, bit) & 1") === 1, 1).otherwise(-1)).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(v, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** n-gram Jaccard near-dup verification within source blocks: the verify
-    * stage after LSH blocking (blocking key keeps it off the n^2 path).
+  /** n-gram Jaccard near-dup verification over the d6 LSH candidate pairs —
+    * the verify stage blocks on the MinHash band, never on a data-skewed
+    * column: candidate volume is bounded by the LSH collision rate, and the
+    * intersection count is a key-join on (doc, shingle), so no block ever
+    * goes O(block²).
     */
   private def d8NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = t(s, d, "documents")
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(shinglesCol(col("text")))).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(shinglesCol(col("text")))).as("sh"))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b,
-        col("a.source") === col("b.source") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = d6LshPairs(s, d)
+    val inter = pairs
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
     inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard", round(col("i").cast("double") /
         (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= 0.8)
@@ -296,7 +302,9 @@ object Queries {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val c = emb.filter(col("vec_id") >= 5)
-    val scored = q.join(broadcast(c))
+    // broadcast the SMALL side (the 5-row query set); the candidate corpus
+    // streams through the scan — at 100TB the corpus must never be broadcast
+    val scored = c.join(broadcast(q))
       .withColumn("cos", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -556,7 +564,40 @@ object Queries {
     "c4_pagination" -> (c4Pagination _),
     "c5_crawl_rounds" -> (c5CrawlRounds _))
 
+  /** e2's oracle: the 8 sign-random-projection hyperplanes are deterministic
+    * (fnv1a64-derived), so they are emitted as literal DOUBLE lists and DuckDB
+    * recomputes bucket assignment + in-bucket cosine re-rank independently.
+    * %.17e round-trips every double exactly.
+    */
+  private def e2OracleSql: String = {
+    val planes = Array.tabulate(8, 64) { (b, i) =>
+      graft.urls.UrlOps.fnv1a64(s"plane:$b:$i").toDouble / Long.MaxValue.toDouble
+    }
+    val values = planes.zipWithIndex.map { case (w, b) =>
+      s"($b, [${w.map(x => f"$x%.17e").mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n")
+    s"""WITH planes(b, w) AS (VALUES
+       |$values),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bucketed AS (
+       |  SELECT e.vec_id,
+       |    sum(CASE WHEN list_dot_product(p.w, e.v) >= 0 THEN (1 << p.b) ELSE 0 END)::INT AS bucket
+       |  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ba.bucket AS bucket,
+       |    round(list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |  FROM emb a JOIN bucketed ba ON ba.vec_id = a.vec_id
+       |  JOIN bucketed bb ON bb.bucket = ba.bucket
+       |  JOIN emb b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id),
+       |ranked AS (SELECT vec_a, vec_b, bucket, cos,
+       |  row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b ASC) AS rank
+       |  FROM pairs)
+       |SELECT vec_a, vec_b, bucket, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e2_knn_lsh" -> e2OracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -717,15 +758,27 @@ object Queries {
         |  sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY 1""".stripMargin,
     "d8_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents),
-        |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)]),
         |  z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS sh FROM toks),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+        |  min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+        |FROM sh GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 'b0:' || sig0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'b1:' || sig1 FROM sig
+        |  UNION ALL SELECT doc_id, 'b2:' || sig2 FROM sig
+        |  UNION ALL SELECT doc_id, 'b3:' || sig3 FROM sig),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
-        |    AND a.doc_id < b.doc_id
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.doc_a
+        |  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(i::DOUBLE / (na.n + nb.n - i), 6) AS jaccard

@@ -15,6 +15,11 @@ object Highlight {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link", "meta",
     "param", "source", "track", "wbr")
 
+  // must mirror HtmlParser.RawTextTags: the parser stores these tags' content
+  // RAW (no entity decode), so serialization must emit it raw — escaping here
+  // would double-encode on a re-parse and break the round-trip fixpoint
+  private val RawTextTags = Set("script", "style", "textarea", "title")
+
   /** Annotate list/items/fields + pagination results over a parsed page and
     * return serialized HTML. `_add_class` joins onto the existing class
     * string; `_add_label` APPENDS a div.webspot-highlight-label child.
@@ -81,7 +86,7 @@ object Highlight {
       if (!VoidTags.contains(nd.tag)) {
         nd.content.foreach {
           case TextSeg(t) =>
-            if (nd.tag == "script" || nd.tag == "style") sb.append(t)
+            if (RawTextTags.contains(nd.tag)) sb.append(t)
             else sb.append(escText(t))
           case ChildRef(c) => writeNode(c)
         }

@@ -70,13 +70,30 @@ object HtmlParser {
     sb.result()
   }
 
-  /** Mutable node under construction. */
+  /** Mutable node under construction. Adjacent text is COALESCED into one
+    * [[TextSeg]] (matching live-DOM text-node semantics — a stray `<` or an
+    * entity boundary never splits a text node), except across a comment /
+    * doctype / PI, which separates text nodes exactly like a real DOM does.
+    * This makes parse∘serialize∘parse a fixpoint: serialization re-encodes
+    * `<` as `&lt;`, and a re-parse must yield the same segmentation.
+    */
   private final class Building(
       val id: Int,
       val parentId: Int,
       val tag: String,
       val attrs: Vector[(String, String)]) {
-    val content = Vector.newBuilder[DomContent]
+    val content = mutable.ArrayBuffer.empty[DomContent]
+    var textOpen = false // true while the last content entry is a mergeable TextSeg
+
+    def addText(t: String): Unit = {
+      if (textOpen && content.nonEmpty) content(content.length - 1) match {
+        case TextSeg(prev) => content(content.length - 1) = TextSeg(prev + t)
+        case _ => content += TextSeg(t); textOpen = true
+      }
+      else { content += TextSeg(t); textOpen = true }
+    }
+    def addChild(id: Int): Unit = { content += ChildRef(id); textOpen = false }
+    def breakText(): Unit = textOpen = false
   }
 
   def parseBytes(html: Array[Byte]): DomDocument = parse(decodeBytes(html))
@@ -107,7 +124,7 @@ object HtmlParser {
       val b = new Building(nextId, parent, tag, attrs)
       nextId += 1
       finished += b
-      if (parent >= 0) stack.last.content += ChildRef(b.id)
+      if (parent >= 0) stack.last.addChild(b.id)
       b
     }
 
@@ -118,7 +135,7 @@ object HtmlParser {
     }
 
     def addText(t: String): Unit =
-      if (t.nonEmpty && stack.nonEmpty) stack.last.content += TextSeg(decodeEntities(t))
+      if (t.nonEmpty && stack.nonEmpty) stack.last.addText(decodeEntities(t))
 
     val n = html.length
     var i = 0
@@ -130,7 +147,8 @@ object HtmlParser {
         if (lt + 1 >= n) { i = n } // trailing '<'
         else html.charAt(lt + 1) match {
           case '!' =>
-            // comment / doctype / cdata
+            // comment / doctype / cdata — separates adjacent text nodes
+            if (stack.nonEmpty) stack.last.breakText()
             if (html.startsWith("<!--", lt)) {
               val end = html.indexOf("-->", lt + 4)
               i = if (end < 0) n else end + 3
@@ -139,6 +157,7 @@ object HtmlParser {
               i = if (end < 0) n else end + 1
             }
           case '?' =>
+            if (stack.nonEmpty) stack.last.breakText()
             val end = html.indexOf('>', lt)
             i = if (end < 0) n else end + 1
           case '/' =>
@@ -185,7 +204,7 @@ object HtmlParser {
 
     val arr = new Array[DomNode](finished.length)
     finished.foreach { b =>
-      arr(b.id) = DomNode(b.id, b.parentId, b.tag, b.attrs, b.content.result())
+      arr(b.id) = DomNode(b.id, b.parentId, b.tag, b.attrs, b.content.toVector)
     }
     new DomDocument(arr)
   }

@@ -85,27 +85,31 @@ object EventStream {
 
   /** Run a streaming query to completion over static input
     * (Trigger.AvailableNow + memory sink) — the smoke-test harness shape.
+    *
+    * Teardown matters: with Spark's auto-created TEMP checkpoint the location
+    * is deleted on query stop, but the JVM-global StateStore maintenance
+    * thread can fire afterwards against the deleted dir and dump a stack
+    * trace into stdout/stderr (it polluted the round-1 bench output). Use an
+    * explicit checkpoint dir that outlives the query, and stop() explicitly.
     */
-  def runToMemory(df: DataFrame, name: String): DataFrame = {
+  private def runWith(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name-")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    q.stop()
     df.sparkSession.table(name)
   }
 
+  def runToMemory(df: DataFrame, name: String): DataFrame =
+    runWith(df, name, OutputMode.Append)
+
   /** Complete-mode variant for aggregations that need it. */
-  def runAggToMemory(df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  def runAggToMemory(df: DataFrame, name: String): DataFrame =
+    runWith(df, name, OutputMode.Complete)
 }

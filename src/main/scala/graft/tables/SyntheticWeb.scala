@@ -28,7 +28,7 @@ object SyntheticWeb {
     "books", "change", "thinking", "miracle", "reading", "simile", "inspirational",
     "attributed", "paraphrased", "misattributed")
 
-  private def mix(parts: Long*): Long = {
+  private[tables] def mix(parts: Long*): Long = {
     var h = 0xcbf29ce484222325L ^ Seed
     parts.foreach { p =>
       h ^= p
@@ -38,6 +38,32 @@ object SyntheticWeb {
     h
   }
   private def pick[A](xs: Vector[A], h: Long): A = xs((((h % xs.length) + xs.length) % xs.length).toInt)
+
+  // ------- closed-form page-content accessors (the fixture CONTRACT) -------
+  // pageHtml below is built from exactly these functions, so expected tables
+  // (ExpectedDetect) derive from the same spec without running any parser.
+
+  def itemCount(host: Int, k: Long, weight: Int = 1): Int =
+    (5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt) * weight
+
+  def itemAuthor(host: Int, k: Long, i: Int): String =
+    pick(Authors, mix(host.toLong, k, i.toLong, 0xa7f0aL))
+
+  def authorSlug(author: String): String =
+    author.replace(' ', '-').replace(".", "")
+
+  def itemTags(host: Int, k: Long, i: Int): Vector[String] = {
+    val nTags = 2 + (math.abs(mix(host.toLong, k, i.toLong, 0x7a65L)) % 4).toInt
+    (0 until nTags).toVector.map(t => pick(Words, mix(host.toLong, k, i.toLong, t.toLong)))
+  }
+
+  /** sidebar link targets: (related page ordinal, popular page ordinal,
+    * cross-host index).
+    */
+  def sidebarTargets(host: Int, k: Long, nPagesOnHost: Long, nHosts: Int): (Long, Long, Int) = (
+    math.abs(mix(host.toLong, k, 0x11L)) % nPagesOnHost,
+    math.abs(mix(host.toLong, k, 0x22L)) % nPagesOnHost,
+    (math.abs(mix(host.toLong, k, 0x33L)) % nHosts).toInt)
 
   def hostName(h: Int): String = s"host$h.example"
 

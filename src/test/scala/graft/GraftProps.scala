@@ -47,6 +47,26 @@ object GraftProps extends Properties("graft") {
     shape(d1.nodes) == shape(d2.nodes)
   }
 
+  // Hostile inputs: arbitrary tag soup (stray '<', unterminated tags,
+  // entities, quotes, rawtext elements). Comments/PIs are excluded by
+  // construction — serialization intentionally drops them, which merges the
+  // text nodes they separated, so the fixpoint can't hold across them.
+  private val hostileGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("<", ">", "/", "&", ";", "=", "\"", "'", " ", "#"),
+      1 -> Gen.oneOf("<div", "</div>", "<span class=\"a b\"", "&amp;", "&#60;",
+        "<br/>", "<li>", "<p>", "</p>", "<script>", "</script>", "<title>",
+        "<a href=x>", "<a href>", "<img src='u'>")
+    )).map(_.mkString)
+
+  property("parse/serialize/parse fixpoint (hostile tag soup)") =
+    forAll(hostileGen) { s =>
+      val d1 = HtmlParser.parse(s)
+      val d2 = HtmlParser.parse(Highlight.serialize(d1))
+      shape(d1.nodes) == shape(d2.nodes)
+    }
+
   // ---- url canonicalization ----
 
   private val urlGen: Gen[String] = for {
