@@ -52,15 +52,7 @@ object Bench {
       // seed the frontier with every page url (measures drain+extract, not
       // graph discovery latency); host-major layout mirror of pagesFast
 
-      val cuts = new Array[Long](nHosts + 1)
-      cuts(1) = (nPages.toLong * 3) / 10
-      val rest = nPages - cuts(1)
-      var h = 1
-      while (h < nHosts) {
-        cuts(h + 1) = cuts(h) + rest / (nHosts - 1) + (if (h <= (rest % (nHosts - 1))) 1 else 0)
-        h += 1
-      }
-      cuts(nHosts) = nPages
+      val cuts = SyntheticWeb.fastCuts(nPages.toLong, nHosts)
       val seedUrls = (0 until nHosts).flatMap { host =>
         (0L until (cuts(host + 1) - cuts(host))).map(k => SyntheticWeb.pageUrl(host, k))
       }

@@ -429,13 +429,17 @@ object Queries {
 
   // ------------------------------------------------------------ crawl/detect
 
+  /** DuckDB-oracled against the closed-form fixture table
+    * (ExpectedDetect.c1); the score column stays spec-tested (DetectSpec) —
+    * it is not closed-form.
+    */
   private def c1DetectLists(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pages = SyntheticWeb.pagesFast(s, nPages = 48, nHosts = 4, nPartitions = 8)
     Detector.detect(pages)
       .flatMap(o => o.lists.map(l => (o.url, l.name, l.listSelector,
-        l.fullItemsSelector, math.rint(l.score * 1e6) / 1e6, l.data.size)))
-      .toDF("url", "name", "list_selector", "full_items_selector", "score", "n_rows")
+        l.fullItemsSelector, l.data.size)))
+      .toDF("url", "name", "list_selector", "full_items_selector", "n_rows")
   }
 
   private def c2ExtractRows(s: SparkSession, d: String): DataFrame = {
@@ -497,7 +501,10 @@ object Queries {
       .orderBy(col("round"))
   }
 
-  /** highlight + links endpoint surfaces (F13, A-8) over synthetic pages. */
+  /** highlight + links endpoint surfaces (F13, A-8) over synthetic pages.
+    * Emits the closed-form-checkable counters: one container marker per
+    * annotation call, one primary label per list/pagination annotation.
+    */
   private def c6Highlight(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     SyntheticWeb.pagesFast(s, nPages = 16, nHosts = 4, nPartitions = 4)
@@ -506,9 +513,10 @@ object Queries {
         val out = Detector.detectDoc(p.url, doc)
         val highlighted = graft.detect.Highlight.highlight(doc, out.lists, out.pagination)
         val markers = "webspot-highlight-container".r.findAllIn(highlighted).length
-        (p.url, highlighted.length, markers)
+        val labels = "webspot-highlight-label-primary".r.findAllIn(highlighted).length
+        (p.url, markers, labels)
       }
-      .toDF("url", "html_len", "n_markers")
+      .toDF("url", "n_markers", "n_labels")
   }
 
   private def c7Links(s: SparkSession, d: String): DataFrame = {
@@ -596,7 +604,13 @@ object Queries {
        |SELECT vec_a, vec_b, bucket, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** SQL oracles. The c1–c7 detect/crawl entries read the CLOSED-FORM
+    * expected tables (graft.tables.ExpectedDetect — derived from the fixture
+    * spec, never from the engine) that Verify materializes to parquet.
+    */
+  def oracles: Map[String, String] = staticOracles ++ graft.tables.ExpectedDetect.oracleSql
+
+  private val staticOracles: Map[String, String] = Map(
     "e2_knn_lsh" -> e2OracleSql,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -16,6 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // materialize the closed-form expected tables the c1-c7 oracles read
+    // (fixture-spec-derived, independent of the engine under test)
+    try graft.tables.ExpectedDetect.writeAll(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] expected tables failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

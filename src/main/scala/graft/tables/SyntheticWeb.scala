@@ -94,7 +94,7 @@ object SyntheticWeb {
   def pageHtml(host: Int, k: Long, nPagesOnHost: Long, nHosts: Int,
       weight: Int = 1): String = {
     val hs = hostName(host)
-    val nItems = (5 + (math.abs(mix(host.toLong, k, 0x17e35L)) % 11).toInt) * weight
+    val nItems = itemCount(host, k, weight)
     val sb = new StringBuilder(8192)
     sb ++= "<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n\t<meta charset=\"UTF-8\">\n"
     sb ++= s"\t<title>Quotes $hs page $k</title>\n"
@@ -106,20 +106,16 @@ object SyntheticWeb {
     sb ++= "<div class=\"row\">\n    <div class=\"col-md-8\">\n"
     var i = 0
     while (i < nItems) {
-      val author = pick(Authors, mix(host.toLong, k, i.toLong, 0xa7f0aL))
-      val authorSlug = author.replace(' ', '-').replace(".", "")
-      val nTags = 2 + (math.abs(mix(host.toLong, k, i.toLong, 0x7a65L)) % 4).toInt
+      val author = itemAuthor(host, k, i)
+      val slug = authorSlug(author)
       sb ++= "    <div class=\"quote\" itemscope itemtype=\"http://schema.org/CreativeWork\">\n"
       sb ++= s"        <span class=\"text\" itemprop=\"text\">${quoteText(host, k, i)}</span>\n"
       sb ++= s"        <span>by <small class=\"author\" itemprop=\"author\">$author</small>\n"
-      sb ++= s"        <a href=\"/author/$authorSlug\">(about)</a>\n        </span>\n"
+      sb ++= s"        <a href=\"/author/$slug\">(about)</a>\n        </span>\n"
       sb ++= "        <div class=\"tags\">\n            Tags:\n"
       sb ++= "            <meta class=\"keywords\" itemprop=\"keywords\" content=\"x\" />\n"
-      var t = 0
-      while (t < nTags) {
-        val tag = pick(Words, mix(host.toLong, k, i.toLong, t.toLong))
+      itemTags(host, k, i).foreach { tag =>
         sb ++= s"            <a class=\"tag\" href=\"/tag/$tag/page/1/\">$tag</a>\n"
-        t += 1
       }
       sb ++= "        </div>\n    </div>\n"
       i += 1
@@ -131,11 +127,9 @@ object SyntheticWeb {
     }
     sb ++= "    </div>\n    <div class=\"col-md-4 tags-box\">\n        <h2>Top Ten tags</h2>\n"
     // sidebar links: a couple of same-host page links + one cross-host + one disallowed
-    val l1 = math.abs(mix(host.toLong, k, 0x11L)) % nPagesOnHost
-    val l2 = math.abs(mix(host.toLong, k, 0x22L)) % nPagesOnHost
+    val (l1, l2, xHost) = sidebarTargets(host, k, nPagesOnHost, nHosts)
     sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"/page/$l1\">related</a></span>\n"
     sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"/page/$l2\">popular</a></span>\n"
-    val xHost = (math.abs(mix(host.toLong, k, 0x33L)) % nHosts).toInt
     sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"https://${hostName(xHost)}/page/0\">friend</a></span>\n"
     sb ++= s"        <span class=\"tag-item\"><a class=\"tag\" href=\"/private/area$k\">private</a></span>\n"
     sb ++= "    </div>\n</div>\n    </div>\n"
@@ -194,10 +188,11 @@ object SyntheticWeb {
     * Page i belongs to host via cumulative Zipf weights; ordinal computed in
     * closed form. Same schema, same html shape.
     */
-  def pagesFast(spark: SparkSession, nPages: Long, nHosts: Int = 16,
-      nPartitions: Int = 32, weight: Int = 1): Dataset[Page] = {
-    import spark.implicits._
-    // host weights: host0 = 30%, others uniform
+  /** Host-major layout of pagesFast: cumulative page cuts per host (host0 =
+    * 30%, others uniform). Shared by pagesFast, Bench seeding, and the
+    * closed-form expected tables.
+    */
+  def fastCuts(nPages: Long, nHosts: Int): Array[Long] = {
     val cuts = new Array[Long](nHosts + 1)
     cuts(0) = 0
     cuts(1) = (nPages * 3) / 10
@@ -208,6 +203,13 @@ object SyntheticWeb {
       h += 1
     }
     cuts(nHosts) = nPages
+    cuts
+  }
+
+  def pagesFast(spark: SparkSession, nPages: Long, nHosts: Int = 16,
+      nPartitions: Int = 32, weight: Int = 1): Dataset[Page] = {
+    import spark.implicits._
+    val cuts = fastCuts(nPages, nHosts)
     val bc = spark.sparkContext.broadcast(cuts)
     spark.range(0, nPages, 1, nPartitions).map { i =>
       val c = bc.value
