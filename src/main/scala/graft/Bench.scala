@@ -56,7 +56,13 @@ object Bench {
       val seedUrls = (0 until nHosts).flatMap { host =>
         (0L until (cuts(host + 1) - cuts(host))).map(k => SyntheticWeb.pageUrl(host, k))
       }
-      val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = nPages,
+      // politeness budget = the largest host's frontier share (host0's 30%):
+      // small enough that the two-phase per-host top-k actually executes (it
+      // is NOT elided as a no-op), large enough that one round still drains
+      // the whole frontier — the metric measures drain+extract, not
+      // multi-round scheduling latency
+      val hostMax = (1 until (nHosts + 1)).map(h => cuts(h) - cuts(h - 1)).max.toInt
+      val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
         roundSize = nPages, maxRounds = 1, lineageDetail = false)
       val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
       // JIT warmup: a small untimed crawl through the same code path

@@ -1,8 +1,8 @@
 package graft.frontier
 
+import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.urls.UrlOps
 import graft.dom.HtmlParser
@@ -55,7 +55,11 @@ final case class CrawlConfig(
     broadcastDrainLimit: Int = 2_000_000,
     // detailed per-stage counters cost extra count() jobs per round; turn off
     // for throughput benchmarks (fetched/extracted/new are always recorded)
-    lineageDetail: Boolean = true)
+    lineageDetail: Boolean = true,
+    // frontier commits are append-only deltas (adds + drained-key tombstones);
+    // every N rounds — or when tombstones outnumber live rows — the frontier
+    // is compacted to a single rewrite so reads never degrade unboundedly
+    compactEveryRounds: Int = 8)
 
 final case class CrawlStats(rounds: Int, fetched: Long, extractedRows: Long, seenSize: Long)
 final case class RoundStats(drained: Long, fetched: Long, extracted: Long, newUrls: Long)
@@ -63,17 +67,23 @@ final case class RoundStats(drained: Long, fetched: Long, extracted: Long, newUr
 /** Spark-native URL frontier + fetch scheduler (north rule; SURVEY.md §2.9,
   * §3.3). Each round is one batch Dataset job:
   *
-  *   frontier → politeness window (W5) → priority drain → "fetch" join vs the
-  *   pages table (J4) → fused detect/extract map (3.1) → link explode (C2) →
-  *   robots broadcast filter (C4) → in-round dedup → partitioned cuckoo-filter
-  *   probe (C3) with exact anti-join backstop ONLY on the cuckoo-positive
-  *   subset (J5) → frontier/seen/lineage snapshot commit (C8).
+  *   frontier → politeness two-phase per-host top-k (W5) → priority drain
+  *   (C6) → "fetch" join vs the pages table (J4) → fused detect/extract map
+  *   (3.1) → link explode (C2) → robots broadcast filter (C4) → in-round
+  *   dedup → partitioned cuckoo-filter probe (C3) with exact anti-join
+  *   backstop ONLY on the cuckoo-positive subset (J5) → delta snapshot
+  *   commit (C8).
   *
   * Scale design: every stage is expressed on Datasets/DataFrames so Catalyst
   * plans it; the seen set is bucket-partitioned (pmod(url_hash, P)) so probes
   * and updates are co-partitioned cogroups, never a broadcast of the filter;
   * the fetch join relies on AQE skew handling for Zipf hosts; the politeness
-  * rank shuffles on `host` once per round.
+  * rank is a two-phase bounded-heap top-k (partial per-partition, then
+  * per-host final), so a Zipf-hot host never funnels 30% of a 10^10-row
+  * frontier through one sort task the way a row_number window would. All
+  * frontier/seen/lineage state is committed as APPEND-ONLY deltas — a round
+  * writes O(drained + new) rows, never the 10^10-row frontier — with
+  * periodic compaction bounding read amplification.
   */
 object CrawlEngine {
 
@@ -103,45 +113,86 @@ object CrawlEngine {
     }
   }
 
-  /** One fetch-schedule round. Returns (new frontier, drained outputs). */
+  /** Drain order: priority desc, depth asc, url asc (deterministic). */
+  private val drainOrd: Ordering[FrontierEntry] =
+    Ordering.by((e: FrontierEntry) => (-e.priority, e.depth, e.url))
+
+  /** Two-phase per-host top-k (politeness, C5/W5): a bounded max-heap per
+    * host per input partition (partial, map-side), then a per-host final
+    * merge — replaces the row_number window whose single per-host sort task
+    * would take the whole hot host. Each phase holds at most k rows per host
+    * in memory; at most k × nPartitions rows per host cross the shuffle.
+    * Exactly equivalent to rank-by-(priority desc, depth, url) <= k.
+    */
+  def topKPerHost(fr: Dataset[FrontierEntry], k: Int): Dataset[FrontierEntry] = {
+    val spark = fr.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[FrontierEntry] = drainOrd
+    def bounded(it: Iterator[FrontierEntry]): Iterator[FrontierEntry] = {
+      // max-heap: head = worst kept entry; evict when a better one arrives
+      val heaps = mutable.HashMap.empty[String, mutable.PriorityQueue[FrontierEntry]]
+      it.foreach { e =>
+        val pq = heaps.getOrElseUpdate(e.host, mutable.PriorityQueue.empty(ord))
+        if (pq.size < k) pq.enqueue(e)
+        else if (ord.lt(e, pq.head)) { pq.dequeue(); pq.enqueue(e) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    fr.mapPartitions(bounded _)
+      .groupByKey(_.host)
+      .flatMapGroups((_: String, es: Iterator[FrontierEntry]) => bounded(es))
+  }
+
+  /** One fetch-schedule round. Returns (frontier add-delta, drained keys,
+    * seen delta, new filters, outputs, lineage, stats, round caches).
+    */
   def round(
       spark: SparkSession,
       roundNo: Int,
       frontier: Dataset[FrontierEntry],
+      frontierSize: Long,
       seen: Dataset[SeenEntry],
       filters: Dataset[FilterState],
       pages: DataFrame, // url, html (+ any other cols)
       robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]],
-      cfg: CrawlConfig): (Dataset[FrontierEntry], Dataset[SeenEntry], Dataset[FilterState],
-      Dataset[PageOutput], Dataset[LineageRow], RoundStats) = {
+      cfg: CrawlConfig): (Dataset[FrontierEntry], DataFrame, Dataset[SeenEntry],
+      Dataset[FilterState], Dataset[PageOutput], Dataset[LineageRow], RoundStats,
+      Seq[Dataset[_]]) = {
     import spark.implicits._
 
-    // --- politeness window (C5/W5): per-host budget per round ---
-    val w = Window.partitionBy($"host")
-      .orderBy(desc("priority"), asc("depth"), asc("url"))
-    val ranked = frontier.withColumn("rn", row_number().over(w))
-    val eligible = ranked.filter($"rn" <= cfg.hostBudgetPerRound).drop("rn").as[FrontierEntry]
-
-    // --- global priority drain (C6/W5) ---
-    // Exact top-k, scale-safe: a bare orderBy().limit(k) would collapse the
-    // result to ONE partition and serialize everything downstream (fetch
-    // join + detect on a single task). Instead: TakeOrdered over NARROW sort
-    // keys only, then semi-join back — the join shuffle restores
-    // parallelism and only ~k keys ever pass through a single task.
-    val drainKeys = eligible
-      .select($"url_hash", $"priority", $"depth", $"url")
-      .orderBy(desc("priority"), asc("depth"), asc("url"))
-      .limit(cfg.roundSize)
-      .select($"url_hash")
-    val drained = eligible
-      .join(drainKeys, Seq("url_hash"), "left_semi")
-      .as[FrontierEntry]
-      .persist()
+    // --- politeness (C5/W5) + global priority drain (C6) ---
+    // Politeness is provably a no-op when budget >= roundSize: an entry with
+    // per-host rank > roundSize has >= roundSize better entries within its
+    // own host under the SAME ordering, so it can never make the global
+    // top-roundSize — skip the operator entirely. Likewise the global top-k
+    // needs no ordering work when the whole frontier fits the round.
+    val wholeFrontier = frontierSize <= cfg.roundSize &&
+      cfg.hostBudgetPerRound >= frontierSize
+    val drained: Dataset[FrontierEntry] =
+      if (wholeFrontier) frontier.persist()
+      else {
+        val eligible =
+          if (cfg.hostBudgetPerRound >= cfg.roundSize) frontier
+          else topKPerHost(frontier, cfg.hostBudgetPerRound)
+        // Exact top-k, scale-safe: a bare orderBy().limit(k) would collapse
+        // the result to ONE partition and serialize everything downstream.
+        // Instead: TakeOrdered over NARROW sort keys only, then semi-join
+        // back — the join shuffle restores parallelism and only ~k keys ever
+        // pass through a single task.
+        val drainKeys = eligible
+          .select($"url_hash", $"priority", $"depth", $"url")
+          .orderBy(desc("priority"), asc("depth"), asc("url"))
+          .limit(cfg.roundSize)
+          .select($"url_hash")
+        eligible.join(drainKeys, Seq("url_hash"), "left_semi")
+          .as[FrontierEntry]
+          .persist()
+      }
     val drainedKeys = drained.select($"url_hash")
 
-    val drainedTotal = timed("drain")(drained.count())
-    val politenessDeferred =
-      if (cfg.lineageDetail) frontier.count() - drainedTotal else -1L
+    val drainedTotal =
+      if (wholeFrontier) frontierSize else timed("drain")(drained.count())
+    val politenessDeferred = frontierSize - drainedTotal
 
     // --- "fetch" (J4): drained ⨝ pages on url ---
     // html bytes dominate the row size: broadcast the (small) drained keys
@@ -220,17 +271,8 @@ object CrawlEngine {
       .join(seen, Seq("url_hash"), "left_anti")
       .select(feCols: _*)
       .as[FrontierEntry]
-    val newEntries = definiteNew.union(fpNew)
-      // also exclude urls sitting in the current frontier that were deferred
-      // this round (they are already enqueued => already in seen; the
-      // anti-join above covers them because seen includes all enqueued urls)
-      .persist()
+    val newEntries = definiteNew.union(fpNew).persist()
     val nNew = timed("probe+new")(newEntries.count())
-
-    // --- frontier update: deferred leftovers ∪ new candidates ---
-    val leftover = frontier.join(drainedKeys, Seq("url_hash"), "left_anti")
-      .select(feCols: _*).as[FrontierEntry]
-    val newFrontier = leftover.union(newEntries)
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
     // append-only delta: ONLY the newly-enqueued urls (the full seen set is
@@ -248,23 +290,42 @@ object CrawlEngine {
         else Iterator.empty
       }
 
-    // --- lineage (A-9): per-bucket counters for this round ---
+    // --- lineage (A-9): per-bucket counters only in detail mode; the global
+    // round counters (bucket -1) always, computed from already-known values
+    // (no extra jobs)
     val rn = roundNo
-    val drainedByBucket = drained.groupBy($"bucket").agg(count("*").as("drained"))
-    val newByBucket = newEntries.groupBy($"bucket").agg(count("*").as("new_urls"))
-    val lineage = drainedByBucket.join(newByBucket, Seq("bucket"), "full_outer")
-      .na.fill(0L)
-      .select($"bucket", $"drained", $"new_urls")
-      .as[(Int, Long, Long)]
-      .map { case (b, dr, nu) =>
-        LineageRow(rn, b, dr, 0L, 0L, 0L, 0L, 0L, nu, 0L)
+    val globalRow = Seq(LineageRow(rn, -1, drainedTotal, fetchedTotal,
+      extractedTotal, nRawCands, robotsBlocked, dedupedInRound, nNew,
+      politenessDeferred)).toDS()
+    val lineage =
+      if (!cfg.lineageDetail) globalRow
+      else {
+        val drainedByBucket = drained.groupBy($"bucket").agg(count("*").as("drained"))
+        val newByBucket = newEntries.groupBy($"bucket").agg(count("*").as("new_urls"))
+        drainedByBucket.join(newByBucket, Seq("bucket"), "full_outer")
+          .na.fill(0L)
+          .select($"bucket", $"drained", $"new_urls")
+          .as[(Int, Long, Long)]
+          .map { case (b, dr, nu) =>
+            LineageRow(rn, b, dr, 0L, 0L, 0L, 0L, 0L, nu, 0L)
+          }
+          .union(globalRow)
       }
-      // global counters on bucket -1
-      .union(Seq(LineageRow(rn, -1, drainedTotal, fetchedTotal, extractedTotal,
-        nRawCands, robotsBlocked, dedupedInRound, nNew, politenessDeferred)).toDS())
 
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
-    (newFrontier, seenDelta, newFilters, outputs, lineage, stats)
+    (newEntries, drainedKeys, seenDelta, newFilters, outputs, lineage, stats,
+      Seq(drained, outputs, probed, newEntries))
+  }
+
+  /** Current frontier = union of add-deltas minus drained-key tombstones. */
+  def readFrontier(spark: SparkSession, m: SnapshotStore.Manifest): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    val adds = SnapshotStore.read(spark, m, "frontier_adds")
+    val rm = SnapshotStore.read(spark, m, "frontier_rm")
+    adds.join(rm, Seq("url_hash"), "left_anti")
+      .select(Seq("url", "url_hash", "host", "host_hash", "bucket",
+        "priority", "depth", "discovered_round").map(col): _*)
+      .as[FrontierEntry]
   }
 
   /** Run the full crawl with per-round snapshot commits; resumable from the
@@ -285,7 +346,7 @@ object CrawlEngine {
 
     // resume from the latest committed snapshot, or bootstrap a v0 snapshot
     // from the seeds (so every later commit is uniform: full rewrite for
-    // frontier/filters, append-only delta for seen/lineage)
+    // filters, append-only delta for frontier/seen/lineage)
     var manifest: SnapshotStore.Manifest = SnapshotStore.latestManifest(stateDir)
       .getOrElse {
         val seedEntries = seeds.map(u => entry(u, 0, 0, cfg.numBuckets))
@@ -299,10 +360,15 @@ object CrawlEngine {
           FilterState(b, f.toBytes, f.size)
         }
         SnapshotStore.commit(stateDir, 0,
-          Map("frontier" -> seedFrontier.toDF(), "filters" -> filters0.toDF()),
+          Map("filters" -> filters0.toDF()),
           Map("round" -> -1L, "fetched" -> 0L, "extracted" -> 0L,
-            "seen" -> seedEntries.length.toLong),
+            "seen" -> seedEntries.length.toLong,
+            "frontier_size" -> seedEntries.length.toLong,
+            "frontier_rm_size" -> 0L),
           deltas = Map(
+            "frontier_adds" -> (seedFrontier.toDF(), Seq.empty),
+            "frontier_rm" -> (spark.emptyDataset[SeenEntry].toDF()
+              .select($"url_hash"), Seq.empty),
             "seen" -> (seedSeen.toDF(), Seq.empty),
             "lineage" -> (spark.emptyDataset[LineageRow].toDF(), Seq.empty)))
       }
@@ -310,32 +376,50 @@ object CrawlEngine {
     var fetchedTotal = manifest.counters.getOrElse("fetched", 0L)
     var extractedTotal = manifest.counters.getOrElse("extracted", 0L)
     var seenTotal = manifest.counters.getOrElse("seen", 0L)
+    var frontierSize = manifest.counters.getOrElse("frontier_size", 0L)
+    var rmSize = manifest.counters.getOrElse("frontier_rm_size", 0L)
 
     var continue = true
-    while (continue && roundNo < cfg.maxRounds) {
-      val frontier = SnapshotStore.read(spark, manifest, "frontier").as[FrontierEntry]
+    while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
+      val frontier = readFrontier(spark, manifest)
       val seen = SnapshotStore.read(spark, manifest, "seen").as[SeenEntry]
       val filters = SnapshotStore.read(spark, manifest, "filters").as[FilterState]
-      val (nf, seenDelta, nfl, outputs, lineage, stats) =
-        round(spark, roundNo, frontier, seen, filters, pages, robotsBc, cfg)
-      if (stats.drained == 0) { continue = false }
+      val (adds, drainedKeys, seenDelta, nfl, outputs, lineage, stats, caches) =
+        round(spark, roundNo, frontier, frontierSize, seen, filters, pages,
+          robotsBc, cfg)
+      if (stats.drained == 0) { continue = false; caches.foreach(_.unpersist()) }
       else {
         fetchedTotal += stats.fetched
         extractedTotal += stats.extracted
         seenTotal += stats.newUrls
-        // snapshot commit (atomic manifest rename); seen + lineage are
-        // append-only deltas — the accumulated history is never rewritten
-        val tables = Map(
-          "frontier" -> nf.toDF(),
-          "filters" -> nfl.toDF()) ++
+        frontierSize = frontierSize - stats.drained + stats.newUrls
+        rmSize += stats.drained
+        // snapshot commit (atomic manifest rename); frontier/seen/lineage are
+        // append-only deltas — a round writes O(drained + new) rows. Compact
+        // the frontier when tombstones would dominate reads.
+        val compact = rmSize > 0 &&
+          ((roundNo + 1) % cfg.compactEveryRounds == 0 || rmSize >= frontierSize.max(1L))
+        val tables = Map("filters" -> nfl.toDF()) ++
           (if (collectOutputs) Map("outputs" -> outputs.drop("links").toDF()) else Map.empty)
+        val frontierDeltas =
+          if (compact) Map(
+            "frontier_adds" -> (frontier.join(drainedKeys, Seq("url_hash"), "left_anti")
+              .select($"url", $"url_hash", $"host", $"host_hash", $"bucket",
+                $"priority", $"depth", $"discovered_round")
+              .union(adds.toDF()), Seq.empty[String]),
+            "frontier_rm" -> (drainedKeys.limit(0), Seq.empty[String]))
+          else Map(
+            "frontier_adds" -> (adds.toDF(), SnapshotStore.dirsOf(manifest, "frontier_adds")),
+            "frontier_rm" -> (drainedKeys, SnapshotStore.dirsOf(manifest, "frontier_rm")))
+        if (compact) rmSize = 0L
         manifest = timed("commit")(SnapshotStore.commit(stateDir, roundNo + 1, tables,
           Map("round" -> roundNo.toLong, "fetched" -> fetchedTotal,
-            "extracted" -> extractedTotal, "seen" -> seenTotal),
-          deltas = Map(
+            "extracted" -> extractedTotal, "seen" -> seenTotal,
+            "frontier_size" -> frontierSize, "frontier_rm_size" -> rmSize),
+          deltas = frontierDeltas ++ Map(
             "seen" -> (seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")),
             "lineage" -> (lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage")))))
-        outputs.unpersist()
+        caches.foreach(_.unpersist())
         roundNo += 1
       }
     }

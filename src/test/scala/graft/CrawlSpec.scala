@@ -154,7 +154,7 @@ class CrawlSpec extends AnyFunSuite {
     val stateDir = java.nio.file.Files.createTempDirectory("graft-robots-").toString
     CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
     val m = SnapshotStore.latestManifest(stateDir).get
-    val frontierUrls = SnapshotStore.read(spark, m, "frontier")
+    val frontierUrls = CrawlEngine.readFrontier(spark, m)
       .select("url").as[String].collect()
     assert(!frontierUrls.exists(_.contains("/private")),
       "disallowed /private urls must never be enqueued")
