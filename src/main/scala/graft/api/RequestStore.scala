@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.detect.{DetectOutput, Detector, ListResultOut}
+import graft.detect.{DetectOutput, Detector, Highlight, ListResultOut, PageGraph, Pagination, PlainList}
 import graft.dom.HtmlParser
 import graft.tables.SnapshotStore
 import graft.urls.UrlOps
@@ -12,15 +12,43 @@ import graft.urls.UrlOps
   * (/root/reference/webspot/web/routes/api/request.py) re-expressed as
   * library calls over the snapshot table layer: submit detection requests
   * (batch, not per-HTTP-call), list newest-first with skip/limit (W4), fetch
-  * by id, and the `/api/links` endpoint's best-link-list extraction (A-8).
-  * MongoDB is replaced by a snapshot-versioned parquet table.
+  * by id, node annotations, and the `/api/links` endpoint's best-link-list
+  * extraction (A-8). MongoDB is replaced by a snapshot-versioned parquet
+  * table.
+  *
+  * Field parity with the reference Request model
+  * (/root/reference/webspot/models/request.py:26-40): url, method, duration,
+  * status, html, html_highlighted, results, valid, error, no_async,
+  * detectors, execution_time. `execution_time` carries the per-stage ms the
+  * reference records in extract_results.py:25-29,40,49,84 (html_requester /
+  * graph_loader / per-detector).
   */
 final case class RequestDoc(
     id: String,
     url: String,
+    method: String,
+    duration: Long,
     status: String,
+    html: String,
+    html_highlighted: String,
     n_lists: Int,
     results_json: String,
+    valid: Boolean,
+    error: String,
+    no_async: Boolean,
+    detectors: Seq[String],
+    execution_time_json: String,
+    created_at: java.sql.Timestamp)
+
+/** Node annotation (/root/reference/webspot/models/node.py:12-17 +
+  * web/models/payload/node.py): a user-attached tag on a DOM node of a
+  * stored request.
+  */
+final case class NodeDoc(
+    id: String,
+    request_id: String,
+    node_id: Int,
+    tag: String,
     created_at: java.sql.Timestamp)
 
 final case class LinkOut(url: String, text: String)
@@ -30,37 +58,106 @@ object RequestStore {
 
   val StatusSuccess = "success"
   val StatusError = "error"
+  val MethodRequest = "request" // HTML_REQUEST_METHOD_REQUEST
+  val DetectorPlainList = "plain_list"
+  val DetectorPagination = "pagination"
+  val DefaultDetectors: Seq[String] = Seq(DetectorPlainList, DetectorPagination)
 
   def requestId(url: String, ts: Long): String =
     java.lang.Long.toHexString(UrlOps.fnv1a64(s"$url@$ts"))
 
-  /** Submit a batch of (url, html) pages: run the fused detect map, append a
-    * snapshot of RequestDocs (the async/sync distinction of the reference is
-    * subsumed by Spark's job scheduling — §3.1).
+  /** Submit a batch of (url, html) pages: run the fused detect map with
+    * per-stage timings, append a snapshot of full-parity RequestDocs (the
+    * async/sync distinction of the reference is subsumed by Spark's job
+    * scheduling — §3.1).
     */
   def submit(spark: SparkSession, storeDir: String,
       pages: Dataset[(String, Array[Byte])],
-      now: java.sql.Timestamp): Dataset[RequestDoc] = {
+      now: java.sql.Timestamp,
+      method: String = MethodRequest,
+      duration: Long = 0L,
+      noAsync: Boolean = false,
+      detectors: Seq[String] = DefaultDetectors): Dataset[RequestDoc] = {
     import spark.implicits._
     val ts = now.getTime
-    val docs = pages.map { case (url, html) =>
-      try {
-        val out = Detector.detectHtml(url, html)
-        RequestDoc(requestId(url, ts), url, StatusSuccess, out.lists.size,
-          resultsJson(out), now)
-      } catch {
-        case e: Exception =>
-          RequestDoc(requestId(url, ts), url, StatusError, 0,
-            s"""{"error":${jsonStr(e.toString)}}""", now)
-      }
+    val dets = detectors
+    val docs = pages.map { case (url, htmlBytes) =>
+      buildDoc(url, htmlBytes, now, ts, method, duration, noAsync, dets)
     }
+    appendDelta(spark, storeDir, "requests", docs.toDF())
+    docs
+  }
+
+  /** One request lifecycle, staged exactly like the reference's
+    * extract_rules (html decode → graph build → per-detector run+highlight),
+    * with per-stage ms in execution_time.
+    */
+  private def buildDoc(url: String, htmlBytes: Array[Byte],
+      now: java.sql.Timestamp, ts: Long, method: String, duration: Long,
+      noAsync: Boolean, detectors: Seq[String]): RequestDoc = {
+    val id = requestId(url, ts)
+    try {
+      var tic = System.nanoTime()
+      def tocMs(): Long = {
+        val ms = (System.nanoTime() - tic) / 1000000L
+        tic = System.nanoTime()
+        ms
+      }
+      val html = HtmlParser.decodeBytes(htmlBytes)
+      val msRequester = tocMs()
+      val doc = HtmlParser.parse(html)
+      val g = PageGraph(doc)
+      val msLoader = tocMs()
+      var lists: Vector[ListResultOut] = Vector.empty
+      var pagination: Option[graft.detect.PaginationOut] = None
+      val detectorMs = detectors.map { d =>
+        val ms = d match {
+          case DetectorPlainList =>
+            lists = g.map(gg => PlainList.run(doc, gg, url)).getOrElse(Vector.empty)
+            tocMs()
+          case DetectorPagination =>
+            pagination = g.flatMap(gg => Pagination.run(doc, gg, url))
+            tocMs()
+          case other => throw new IllegalArgumentException(s"Invalid detector: $other")
+        }
+        d -> ms
+      }
+      val highlighted = Highlight.highlight(doc, lists, pagination)
+      val out = DetectOutput(url, g.map(_.n).getOrElse(0), lists, pagination)
+      val exec = s"""{"html_requester":$msRequester,"graph_loader":$msLoader,""" +
+        s""""detectors":{${detectorMs.map { case (d, m) => s"${jsonStr(d)}:$m" }.mkString(",")}}}"""
+      RequestDoc(id, url, method, duration, StatusSuccess, html, highlighted,
+        lists.size, resultsJson(out), valid = true, error = null,
+        no_async = noAsync, detectors = detectors,
+        execution_time_json = exec, created_at = now)
+    } catch {
+      case e: Exception =>
+        RequestDoc(id, url, method, duration, StatusError, null, null, 0,
+          s"""{"error":${jsonStr(e.toString)}}""", valid = false,
+          error = e.toString, no_async = noAsync, detectors = detectors,
+          execution_time_json = "{}", created_at = now)
+    }
+  }
+
+  /** Append rows to one logical delta table of the store, carrying every
+    * other table's dirs forward unchanged.
+    */
+  private def appendDelta(spark: SparkSession, storeDir: String, table: String,
+      rows: DataFrame): Unit = {
     val prev = SnapshotStore.latestManifest(storeDir)
     val version = prev.map(_.version + 1).getOrElse(0)
-    val prevDirs = prev.map(m => SnapshotStore.dirsOf(m, "requests")).getOrElse(Seq.empty)
+    val carried: Map[String, Seq[String]] = prev match {
+      case None => Map.empty
+      case Some(m) => m.dataDirs.keys.filterNot(_ == table).map { name =>
+        name -> SnapshotStore.dirsOf(m, name)
+      }.toMap
+    }
+    val prevDirs = prev.filter(_.dataDirs.contains(table))
+      .map(m => SnapshotStore.dirsOf(m, table)).getOrElse(Seq.empty)
     SnapshotStore.commit(storeDir, version, Map.empty,
       Map("version" -> version.toLong),
-      deltas = Map("requests" -> (docs.toDF(), prevDirs)))
-    docs
+      deltas = Map(table -> (rows, prevDirs)),
+      carry = carried)
   }
 
   /** newest-first paging (request.py:24-28, W4). */
@@ -81,6 +178,83 @@ object RequestStore {
         .filter(col("id") === id).as[RequestDoc].collect().headOption
     }
   }
+
+  /** GET /api/requests/{id}/html: the highlighted page; `annotate` mode
+    * additionally resolves relative hrefs/srcs against the request url
+    * (transform_html_links semantics, F12) so the page renders standalone.
+    */
+  def requestHtml(spark: SparkSession, storeDir: String, id: String,
+      mode: String = "highlight"): Option[String] =
+    get(spark, storeDir, id).map { d =>
+      if (mode == "annotate") transformHtmlLinks(d.html_highlighted, d.url)
+      else d.html_highlighted
+    }
+
+  /** href/src rewrite over a serialized page (transform_html_links.py:55-60
+    * applied to every link attribute, reversed-re.search bug-compat kept by
+    * UrlOps.transformUrl).
+    */
+  def transformHtmlLinks(html: String, rootUrl: String): String = {
+    val attrRe = """(?i)\b(href|src)\s*=\s*"([^"]*)"""".r
+    attrRe.replaceAllIn(html, m => {
+      val transformed = UrlOps.transformUrl(rootUrl, m.group(2))
+      java.util.regex.Matcher.quoteReplacement(s"""${m.group(1)}="$transformed"""")
+    })
+  }
+
+  // ------------------------------------------------------ node annotations
+
+  /** POST /api/requests/{id}/nodes — annotate the node matched by a CSS
+    * selector on the stored page (request.py:60-73).
+    */
+  def annotateBySelector(spark: SparkSession, storeDir: String, requestId: String,
+      cssSelector: String, tag: String, now: java.sql.Timestamp): Option[NodeDoc] =
+    get(spark, storeDir, requestId).flatMap { d =>
+      val doc = HtmlParser.parse(d.html)
+      graft.css.CssSelector.selectOne(doc, cssSelector).map { nodeId =>
+        annotateById(spark, storeDir, requestId, nodeId, tag, now)
+      }
+    }
+
+  /** POST /api/requests/{id}/nodes/{node_id} (request.py:76-87). */
+  def annotateById(spark: SparkSession, storeDir: String, requestId: String,
+      nodeId: Int, tag: String, now: java.sql.Timestamp): NodeDoc = {
+    import spark.implicits._
+    val id = java.lang.Long.toHexString(
+      UrlOps.fnv1a64(s"$requestId/$nodeId@${now.getTime}"))
+    val doc = NodeDoc(id, requestId, nodeId, tag, now)
+    appendDelta(spark, storeDir, "nodes", Seq(doc).toDF())
+    doc
+  }
+
+  def listNodes(spark: SparkSession, storeDir: String, requestId: String): Dataset[NodeDoc] = {
+    import spark.implicits._
+    SnapshotStore.latestManifest(storeDir) match {
+      case Some(m) if m.dataDirs.contains("nodes") =>
+        SnapshotStore.read(spark, m, "nodes")
+          .filter(col("request_id") === requestId).as[NodeDoc]
+      case _ => spark.emptyDataset[NodeDoc]
+    }
+  }
+
+  /** GET /api/requests/{id}/nodes/{node_id}: node info rebuilt from the
+    * stored html (request.py:48-56) as a compact json object.
+    */
+  def getNodeJson(spark: SparkSession, storeDir: String, requestId: String,
+      nodeId: Int): Option[String] =
+    get(spark, storeDir, requestId).flatMap { d =>
+      val doc = HtmlParser.parse(d.html)
+      if (nodeId < 0 || nodeId >= doc.size) None
+      else {
+        val nd = doc(nodeId)
+        val attrs = nd.attrs.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+          .mkString("{", ",", "}")
+        Some(s"""{"id":${nd.id},"parent":${nd.parentId},"tag":${jsonStr(nd.tag)},""" +
+          s""""attributes":$attrs,"text":${jsonStr(doc.subtreeText(nodeId).strip())}}""")
+      }
+    }
+
+  // ------------------------------------------------------------ /api/links
 
   /** `/api/links` semantics (webspot/web/routes/api/link.py:54-109): per
     * list result, among its link_url fields pick the ONE with max total link
@@ -128,7 +302,8 @@ object RequestStore {
   }
 
   private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
+    if (s == null) "null"
+    else "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"

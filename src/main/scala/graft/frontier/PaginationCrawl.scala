@@ -80,9 +80,14 @@ object PaginationCrawl {
 
     // chains: (start_url, current_url, hop)
     var chains = ruleRows.map { case (u, _) => (u, u, 0) }.toSeq
-    var acc: Dataset[CrawlRow] = spark.emptyDataset[CrawlRow]
     val visited = scala.collection.mutable.Set.empty[(String, String)]
     chains.foreach { case (s, u, _) => visited += ((s, u)) }
+    // per-hop rows SPILL to parquet instead of accumulating a maxHops-deep
+    // union lineage with never-released persists: each hop's cache is freed
+    // as soon as its rows are written, and the returned Dataset reads a flat
+    // table (bounded plan depth at any chain length)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pagcrawl-").toString
+    var wroteAny = false
     var hop = 0
     while (chains.nonEmpty && hop < maxHops) {
       val chainDf = chains.toDF("start_url", "url", "hop")
@@ -97,18 +102,20 @@ object PaginationCrawl {
           (start, url, h, rows, next.orNull)
         }
         .persist()
-      val rowsDs = step.flatMap { case (start, url, h, rs, _) =>
+      step.flatMap { case (start, url, h, rs, _) =>
         rs.zipWithIndex.map { case (r, i) => CrawlRow(start, url, h, i, r) }
-      }
-      acc = acc.union(rowsDs)
+      }.write.mode("append").parquet(outDir)
+      wroteAny = true
       val nexts = step.map { case (start, _, h, _, next) => (start, h, next) }
         .collect()
+      step.unpersist()
       chains = nexts.toSeq.collect {
         case (start, h, next) if next != null && visited.add((start, next)) =>
           (start, next, h + 1)
       }
       hop += 1
     }
-    acc
+    if (!wroteAny) spark.emptyDataset[CrawlRow]
+    else spark.read.parquet(outDir).as[CrawlRow]
   }
 }

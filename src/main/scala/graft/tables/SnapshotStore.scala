@@ -93,7 +93,8 @@ object SnapshotStore {
     */
   def commit(tableDir: String, version: Int, tables: Map[String, DataFrame],
       counters: Map[String, Long],
-      deltas: Map[String, (DataFrame, Seq[String])] = Map.empty): Manifest = {
+      deltas: Map[String, (DataFrame, Seq[String])] = Map.empty,
+      carry: Map[String, Seq[String]] = Map.empty): Manifest = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -107,7 +108,10 @@ object SnapshotStore {
         name -> (prevDirs :+ dir).mkString(";")
       }
     }
-    val dataDirs = Await.result(Future.sequence(writes), Duration.Inf).toMap
+    // `carry`: tables untouched this commit — record their existing dirs in
+    // the new manifest without writing anything
+    val dataDirs = Await.result(Future.sequence(writes), Duration.Inf).toMap ++
+      carry.map { case (name, dirs) => name -> dirs.mkString(";") }
     val m = Manifest(version, dataDirs, counters)
     writeManifest(tableDir, m)
     m

@@ -48,6 +48,66 @@ class ApiSpec extends AnyFunSuite {
     assert(doc.get.results_json.contains("\"plain_list\""))
   }
 
+  test("request doc carries the full reference field set (request.py:26-40)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-req-parity-").toString
+    val t = java.sql.Timestamp.valueOf("2026-01-03 00:00:00")
+    RequestStore.submit(spark, dir, Seq(page(0, 0)).toDS(), t)
+    val d = RequestStore.list(spark, dir, 0, 1)
+      .as[graft.api.RequestDoc].collect().head
+    assert(d.method == "request" && d.valid && !d.no_async && d.error == null)
+    assert(d.detectors == Seq("plain_list", "pagination"))
+    assert(d.html.contains("div class=\"quote\""))
+    assert(d.html_highlighted.contains("webspot-highlight-container"))
+    assert(d.execution_time_json.contains("\"html_requester\"") &&
+      d.execution_time_json.contains("\"graph_loader\"") &&
+      d.execution_time_json.contains("\"plain_list\"") &&
+      d.execution_time_json.contains("\"pagination\""))
+    // error path: unparseable detector list -> valid=false + error recorded
+    RequestStore.submit(spark, dir, Seq(page(0, 1)).toDS(), t,
+      detectors = Seq("nope"))
+    val bad = RequestStore.list(spark, dir, 0, 10).as[graft.api.RequestDoc]
+      .collect().find(_.status == "error").get
+    assert(!bad.valid && bad.error != null && bad.error.contains("nope"))
+    // annotate-mode html resolves relative links against the request url
+    val annotated = RequestStore.requestHtml(spark, dir, d.id, mode = "annotate").get
+    assert(annotated.contains("href=\"https://host0.example/login\""))
+  }
+
+  test("node annotations: by selector and by id (node.py:12-17)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-req-nodes-").toString
+    val t = java.sql.Timestamp.valueOf("2026-01-04 00:00:00")
+    RequestStore.submit(spark, dir, Seq(page(0, 0)).toDS(), t)
+    val reqId = RequestStore.list(spark, dir, 0, 1).collect().head.getAs[String]("id")
+
+    val n1 = RequestStore.annotateBySelector(spark, dir, reqId,
+      SyntheticWeb.GoldenListSelector, "the-list", t).get
+    assert(n1.request_id == reqId && n1.tag == "the-list" && n1.node_id > 0)
+    val n2 = RequestStore.annotateById(spark, dir, reqId, n1.node_id, "again", t)
+    val nodes = RequestStore.listNodes(spark, dir, reqId).collect()
+    assert(nodes.length == 2 && nodes.map(_.tag).toSet == Set("the-list", "again"))
+    // node info endpoint rebuilds the node from the stored html
+    val json = RequestStore.getNodeJson(spark, dir, reqId, n1.node_id).get
+    assert(json.contains("\"tag\":\"div\"") && json.contains("col-md-8"))
+    // request paging still intact after node commits (carried dirs)
+    assert(RequestStore.list(spark, dir, 0, 10).count() == 1)
+    assert(n2.node_id == n1.node_id)
+  }
+
+  test("S4: binaryFile html source feeds the detect pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-htmlfiles-")
+    for (k <- 0 until 3)
+      java.nio.file.Files.writeString(dir.resolve(s"p$k.html"),
+        SyntheticWeb.pageHtml(0, k, 10, 4))
+    java.nio.file.Files.writeString(dir.resolve("ignore.txt"), "not html")
+    val pages = graft.sources.HtmlFiles.read(spark, dir.toString)
+    assert(pages.count() == 3)
+    val outs = Detector.detect(pages).collect()
+    assert(outs.length == 3 && outs.forall(_.lists.nonEmpty))
+    assert(outs.forall(_.url.startsWith("file:")))
+  }
+
   test("links endpoint: picks the link field with max total text (A-8)") {
     val (url, html) = page(0, 2)
     val lists = RequestStore.linkLists(url, html)
