@@ -65,9 +65,12 @@ object Bench {
       val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
         roundSize = nPages, maxRounds = 1, lineageDetail = false)
       val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
-      // JIT warmup: a small untimed crawl through the same code path
-      val warmCfg = cfg.copy(roundSize = math.min(5000, nPages))
-      CrawlEngine.run(spark, pages, seedUrls.take(5000), robots, warmCfg,
+      // JIT warmup: an untimed crawl through the same code path — 10k pages,
+      // or the first timed trial still pays residual compilation (observed
+      // ~7% on trial 1 with a 5k warmup)
+      val warm = math.min(10000, nPages)
+      val warmCfg = cfg.copy(roundSize = warm)
+      CrawlEngine.run(spark, pages, seedUrls.take(warm), robots, warmCfg,
         java.nio.file.Files.createTempDirectory("graft-warm-").toString,
         collectOutputs = false)
       var best = 0.0
@@ -95,7 +98,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toInt
+    // 160k pages: one round's detect work dominates the per-round fixed
+    // cost (~30x at the 4-core level), so the scaling ratio measures the
+    // pipeline, not job-scheduling constants (rounds at production scale
+    // are larger still)
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "160000").toInt
     val nHosts = 16
 
     // part 1: per-query timings (skippable for crawl-bench iteration)
@@ -122,17 +129,32 @@ object Bench {
     // levels make whichever runs later look slower. A short idle cooldown
     // before each level's timed trials restores the budget so both levels
     // measure the same machine.
-    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "45").toInt * 1000L
+    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "30").toInt * 1000L
     // level order: 16 first on a fresh budget (it is the throttle-sensitive
     // one); the 4-thread level burns 1/8th of the box and is stable. More
-    // trials at 16 (cheap) to ride out residual host noise.
-    Thread.sleep(cooldown)
-    val (thr16, _) = crawlThroughput(16, benchPages, nHosts, trials = 4)
-    Thread.sleep(cooldown)
-    val (thr4, _) = crawlThroughput(4, benchPages, nHosts)
-    Thread.sleep(cooldown)
-    val (thr32, extracted32) = crawlThroughput(32, benchPages, nHosts)
-    val eff416 = (thr16 / thr4) / 4.0
+    // trials at 16 (cheap) to ride out residual host noise. Levels/trials
+    // overridable for experiments: SPARK_GRAFT_BENCH_LEVELS="16:4,4:3,32:2".
+    // The sandbox host throttles in multi-minute bursts, so a level measured
+    // in ONE contiguous window can catch a slow patch its counterpart
+    // missed, skewing the ratio either way. Each level therefore runs in TWO
+    // passes interleaved with the other (16,4,16,4), best across passes —
+    // the throttle drift hits both sides of the ratio.
+    val levels: Seq[(Int, Int)] =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "16:2,4:1,16:2,4:1,32:2")
+        .split(",").toSeq.map { s =>
+          val Array(c, t) = s.split(":"); (c.trim.toInt, t.trim.toInt)
+        }
+    var measured = Map.empty[Int, (Double, Long)]
+    levels.foreach { case (c, t) =>
+      Thread.sleep(cooldown)
+      val r = crawlThroughput(c, benchPages, nHosts, trials = t)
+      measured += c -> measured.get(c).filter(_._1 >= r._1).getOrElse(r)
+    }
+    val (thr16, thr4) = (measured.get(16).map(_._1).getOrElse(0.0),
+      measured.get(4).map(_._1).getOrElse(0.0))
+    val (thr32, extracted32) = measured.getOrElse(32,
+      measured(levels.last._1))
+    val eff416 = if (thr4 > 0) (thr16 / thr4) / 4.0 else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -167,12 +189,13 @@ object Bench {
            |cores, while one box saturates its memory bus past ~16 threads
            |(the detect kernel is bandwidth-bound there), so local[32] is
            |reported as peak throughput, not as the scaling pair. Identical
-           |job, identical input, best of 2 timed trials after JIT warmup;
-           |the v0 seed-snapshot bootstrap is excluded from timing (the
-           |metric drains an existing committed frontier), and each level is
-           |preceded by an idle cooldown (the sandbox host throttles
-           |sustained CPU, which would otherwise penalize whichever level
-           |runs later).
+           |job, identical input, JIT-warmed; the v0 seed-snapshot bootstrap
+           |is excluded from timing (the metric drains an existing committed
+           |frontier). The sandbox host throttles CPU in multi-minute
+           |bursts, so each level runs in TWO passes interleaved with the
+           |other (16,4,16,4 with idle cooldowns), best across passes — a
+           |slow patch then hits both sides of the ratio instead of skewing
+           |it.
            |
            |Pipeline measured end-to-end per round: politeness window rank →
            |priority drain → fetch join (AQE skew) → fused parse/detect/extract

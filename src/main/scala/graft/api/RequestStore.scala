@@ -265,10 +265,12 @@ object RequestStore {
     val out = Detector.detectDoc(url, doc)
     out.lists.flatMap { lr =>
       val linkFields = lr.fields.filter(_.fieldType == "link_url")
+      val items = graft.css.CssSelector.selectAll(doc, lr.fullItemsSelector)
+      val itemCands = items.map(graft.css.CssSelector.descendants(doc, _))
       val candidates = linkFields.map { f =>
-        val items = graft.css.CssSelector.selectAll(doc, lr.fullItemsSelector)
-        val links = items.flatMap { itemId =>
-          graft.css.CssSelector.selectOne(doc, f.selector, scopeId = itemId).flatMap { fid =>
+        val sel = graft.css.CssSelector.parse(f.selector)
+        val links = itemCands.flatMap { cands =>
+          graft.css.CssSelector.selectOneAmong(doc, sel, cands).flatMap { fid =>
             doc(fid).attr("href").map { href =>
               // get_text(strip=True): stripped segments concatenated
               val text = strippedText(doc, fid)

@@ -211,4 +211,10 @@ object Numeric {
 
   /** log_positive (webspot/detect/utils/math.py:8-9) = ln(1+x). */
   def logPositive(x: Double): Double = math.log1p(x)
+
+  /** sigmoid (webspot/detect/utils/math.py:4-5, F4) = 1/(1+e^-x) — defined
+    * and exported by the reference's math utils (unused by its detectors;
+    * kept for API parity).
+    */
+  def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 }

@@ -25,12 +25,28 @@ object Pagination {
     s
   }
 
-  def run(doc: graft.dom.DomDocument, g: PageGraph, url: String): Option[PaginationOut] = {
-    // link nodes: kept <a> nodes with an href (pagination.py:50-52)
-    val linkIdxs = (0 until g.n).filter { i =>
+  /** Kept `<a href>` graph-node indices (pagination.py:50-52). */
+  def linkNodeIdxs(g: PageGraph): IndexedSeq[Int] =
+    (0 until g.n).filter { i =>
       val nd = g.node(i)
       nd.tag == "a" && nd.attr("href").isDefined
     }
+
+  /** P11: the same-domain subset of link nodes — the reference's
+    * `_get_internal_link_nodes` (pagination.py:54-59). NB the reference's
+    * own `_extract` matches against ALL link_nodes, not this subset
+    * (pagination.py:81-84); we expose the same machinery and keep the same
+    * extract-time behavior.
+    */
+  def internalLinkNodeIdxs(g: PageGraph, url: String): IndexedSeq[Int] = {
+    val rootDomain = UrlOps.urlDomain(url)
+    linkNodeIdxs(g).filter { i =>
+      UrlOps.urlDomain(UrlOps.transformUrl(url, g.node(i).attr("href").get)) == rootDomain
+    }
+  }
+
+  def run(doc: graft.dom.DomDocument, g: PageGraph, url: String): Option[PaginationOut] = {
+    val linkIdxs = linkNodeIdxs(g)
     if (linkIdxs.isEmpty) return None
 
     // classifier: score each link; best (first in doc order on ties) = NEXT

@@ -304,13 +304,19 @@ object PlainList {
     out.result()
   }
 
-  /** run extraction rules over the page (plain_list.py:260-279). */
+  /** run extraction rules over the page (plain_list.py:260-279).
+    * Hot path: field selectors are parsed ONCE and each item's descendant
+    * scan is shared across all field rules (same matches as per-rule
+    * soupsieve selects, document order preserved).
+    */
   def extractData(doc: DomDocument, url: String, fullItemsSelector: String,
       fields: Seq[FieldRule]): Vector[ExtractedRow] = {
+    val parsedFields = fields.map(f => (f, CssSelector.parse(f.selector)))
     CssSelector.selectAll(doc, fullItemsSelector).map { itemId =>
+      val candidates = CssSelector.descendants(doc, itemId)
       val row = Map.newBuilder[String, String]
-      fields.foreach { f =>
-        CssSelector.selectOne(doc, f.selector, scopeId = itemId).foreach { fid =>
+      parsedFields.foreach { case (f, sel) =>
+        CssSelector.selectOneAmong(doc, sel, candidates).foreach { fid =>
           f.fieldType match {
             case FieldTypeText =>
               row += (f.name -> doc.subtreeText(fid).strip())

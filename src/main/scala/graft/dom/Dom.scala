@@ -16,6 +16,25 @@ sealed trait DomContent
 final case class TextSeg(text: String) extends DomContent
 final case class ChildRef(id: Int) extends DomContent
 
+private[dom] object Ws {
+  /** whitespace tokenization (non-empty tokens) — the per-node class/feature
+    * splits run inside the fused detect map; `split("\\s+")` recompiles its
+    * pattern per call.
+    */
+  def tokens(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i).isWhitespace) i += 1
+      val st = i
+      while (i < n && !s.charAt(i).isWhitespace) i += 1
+      if (i > st) out += s.substring(st, i)
+    }
+    out.result()
+  }
+}
+
 final case class DomNode(
     id: Int,
     parentId: Int, // -1 = no parent (document root element)
@@ -31,7 +50,7 @@ final case class DomNode(
     * graph_loader.py:169-181).
     */
   def classTokens: Vector[String] =
-    attr("class").map(_.split("\\s+").toVector.filter(_.nonEmpty)).getOrElse(Vector.empty)
+    attr("class").map(Ws.tokens).getOrElse(Vector.empty)
 
   /** Direct text segments, stripped, empties dropped — the `_text`/`_texts`
     * fields of the reference's node json (graph_loader.py:183-192).
@@ -54,7 +73,7 @@ final case class DomNode(
     val b = Vector.newBuilder[(String, String)]
     b += (("tag", tag))
     attrs.foreach { case (k, v) =>
-      if (k == "class") v.split("\\s+").iterator.filter(_.nonEmpty).foreach(t => b += ((k, t)))
+      if (k == "class") Ws.tokens(v).foreach(t => b += ((k, t)))
       else b += ((k, v))
     }
     b.result()

@@ -56,6 +56,9 @@ final case class CrawlConfig(
     // detailed per-stage counters cost extra count() jobs per round; turn off
     // for throughput benchmarks (fetched/extracted/new are always recorded)
     lineageDetail: Boolean = true,
+    // P14 (web_spider.py:68-69): in test mode, seed urls containing
+    // 'example' are skipped at injection time
+    isTest: Boolean = false,
     // frontier commits are append-only deltas (adds + drained-key tombstones);
     // every N rounds — or when tombstones outnumber live rows — the frontier
     // is compacted to a single rewrite so reads never degrade unboundedly
@@ -174,19 +177,25 @@ object CrawlEngine {
         val eligible =
           if (cfg.hostBudgetPerRound >= cfg.roundSize) frontier
           else topKPerHost(frontier, cfg.hostBudgetPerRound)
-        // Exact top-k, scale-safe: a bare orderBy().limit(k) would collapse
-        // the result to ONE partition and serialize everything downstream.
-        // Instead: TakeOrdered over NARROW sort keys only, then semi-join
-        // back — the join shuffle restores parallelism and only ~k keys ever
-        // pass through a single task.
-        val drainKeys = eligible
-          .select($"url_hash", $"priority", $"depth", $"url")
-          .orderBy(desc("priority"), asc("depth"), asc("url"))
-          .limit(cfg.roundSize)
-          .select($"url_hash")
-        eligible.join(drainKeys, Seq("url_hash"), "left_semi")
-          .as[FrontierEntry]
-          .persist()
+        if (frontierSize <= cfg.roundSize)
+          // |eligible| <= frontierSize <= roundSize: the global top-k is the
+          // identity — everything politeness admitted drains this round
+          eligible.persist()
+        else {
+          // Exact top-k, scale-safe: a bare orderBy().limit(k) would
+          // collapse the result to ONE partition and serialize everything
+          // downstream. Instead: TakeOrdered over NARROW sort keys only,
+          // then semi-join back — the join shuffle restores parallelism and
+          // only ~k keys ever pass through a single task.
+          val drainKeys = eligible
+            .select($"url_hash", $"priority", $"depth", $"url")
+            .orderBy(desc("priority"), asc("depth"), asc("url"))
+            .limit(cfg.roundSize)
+            .select($"url_hash")
+          eligible.join(drainKeys, Seq("url_hash"), "left_semi")
+            .as[FrontierEntry]
+            .persist()
+        }
       }
     val drainedKeys = drained.select($"url_hash")
 
@@ -349,7 +358,10 @@ object CrawlEngine {
     // filters, append-only delta for frontier/seen/lineage)
     var manifest: SnapshotStore.Manifest = SnapshotStore.latestManifest(stateDir)
       .getOrElse {
-        val seedEntries = seeds.map(u => entry(u, 0, 0, cfg.numBuckets))
+        // P14: test-mode seed skip (web_spider.py:68-69)
+        val effSeeds =
+          if (cfg.isTest) seeds.filterNot(_.contains("example")) else seeds
+        val seedEntries = effSeeds.map(u => entry(u, 0, 0, cfg.numBuckets))
           .groupBy(_.url_hash).values.map(_.head).toSeq
         val seedFrontier = seedEntries.toDS()
         val seedSeen = seedFrontier.map(e => SeenEntry(e.bucket, e.url_hash))

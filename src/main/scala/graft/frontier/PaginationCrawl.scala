@@ -44,10 +44,12 @@ object PaginationCrawl {
   def applyRules(url: String, html: Array[Byte], rules: LearnedRules):
       (Vector[Map[String, String]], Option[String]) = {
     val doc = HtmlParser.parseBytes(html)
+    val parsedFields = rules.fields.map(f => (f, CssSelector.parse(f.selector)))
     val rows = CssSelector.selectAll(doc, rules.itemsSelector).map { itemId =>
+      val cands = CssSelector.descendants(doc, itemId)
       val row = Map.newBuilder[String, String]
-      rules.fields.foreach { f =>
-        CssSelector.selectOne(doc, f.selector, scopeId = itemId).foreach { fid =>
+      parsedFields.foreach { case (f, sel) =>
+        CssSelector.selectOneAmong(doc, sel, cands).foreach { fid =>
           if (f.attribute.nonEmpty) doc(fid).attr(f.attribute).foreach(v => row += (f.name -> v))
           else row += (f.name -> doc.subtreeText(fid).strip())
         }

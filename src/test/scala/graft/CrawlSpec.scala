@@ -148,6 +148,39 @@ class CrawlSpec extends AnyFunSuite {
     assert(fullSeen == resumedSeen)
   }
 
+  test("P14: test-mode skips seed urls containing 'example'") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF()
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-testmode-").toString
+    val stats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      robots, cfg.copy(isTest = true), stateDir)
+    assert(stats.fetched == 0 && stats.seenSize == 0, "all example seeds skipped")
+    // non-example seeds survive test mode (and simply fetch nothing here)
+    val stateDir2 = java.nio.file.Files.createTempDirectory("graft-testmode2-").toString
+    val stats2 = CrawlEngine.run(spark, pages,
+      Seq("https://real.site/page/0"), robots, cfg.copy(isTest = true), stateDir2)
+    assert(stats2.seenSize == 1)
+  }
+
+  test("P11: internal-link subset keeps same-domain links only") {
+    val (h, k) = (0, 1) // page with a cross-host friend link (xh=3)
+    val html = SyntheticWeb.pageHtml(h, k, 10, nHosts)
+    val url = SyntheticWeb.pageUrl(h, k)
+    val doc = HtmlParser.parseBytes(html.getBytes("UTF-8"))
+    val g = graft.detect.PageGraph(doc).get
+    val all = graft.detect.Pagination.linkNodeIdxs(g)
+    val internal = graft.detect.Pagination.internalLinkNodeIdxs(g, url)
+    assert(internal.nonEmpty && internal.size < all.size)
+    assert(internal.forall(i =>
+      UrlOps.urlDomain(UrlOps.transformUrl(url, g.node(i).attr("href").get)) == "host0.example"))
+    // excluded: the cross-host friend link, plus the header "/" link — "/"
+    // is a substring of the regex literal "^(https?:)?//", so the
+    // reference's reversed-re.search bug treats it as ABSOLUTE and leaves
+    // it untransformed (domain "" != root domain). Bug-compat preserved.
+    val excluded = all.diff(internal).map(i => g.node(i).attr("href").get)
+    assert(excluded.toSet == Set("/", "https://host3.example/page/0"))
+  }
+
   test("robots filter blocks disallowed prefixes") {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()

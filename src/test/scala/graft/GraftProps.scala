@@ -150,6 +150,14 @@ object GraftProps extends Properties("graft") {
 
   // ---- cuckoo never lies about inserted keys ----
 
+  property("sigmoid symmetry + range (F4)") =
+    forAll(Gen.choose(-50.0, 50.0)) { x =>
+      val s = Numeric.sigmoid(x)
+      s >= 0.0 && s <= 1.0 &&
+        math.abs(Numeric.sigmoid(-x) - (1.0 - s)) < 1e-12 &&
+        Numeric.sigmoid(0.0) == 0.5
+    }
+
   property("cuckoo membership sound") = forAll(Gen.listOf(Gen.long)) { keys =>
     val f = graft.frontier.CuckooFilter.create(math.max(16, keys.size))
     keys.foreach(f.add)
