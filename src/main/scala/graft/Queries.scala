@@ -282,6 +282,65 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** embedding-cosine near-dup dedup: hashed bag-of-words document vectors
+    * (64 dims, md5-hashed tokens), candidate pairs from the d6 MinHash-LSH
+    * bands, cosine verified relationally (Σ wa·wb on the dim key — no list
+    * types cross the shuffle, no all-pairs). The 100TB shape: band-blocked
+    * candidates + key-joined sparse dot products.
+    */
+  private def d9EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .withColumn("dim",
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), lit(64)))
+    val dims = toks.groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("w"))
+    val nrm = dims.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val pairs = d6LshPairs(s, d)
+    val dots = pairs
+      .join(dims.toDF("doc_a", "dim", "wa"), "doc_a")
+      .join(dims.toDF("doc_b", "dim", "wb"), Seq("doc_b", "dim"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(nrm.toDF("doc_a", "na"), "doc_a")
+      .join(nrm.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+  }
+
+  /** BPE-ish token counting: word pieces + standalone punctuation (the
+    * pre-tokenizer shape every BPE/unigram tokenizer starts from).
+    */
+  private def t2BpeTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .as("n_bpe_tokens"))
+
+  /** multimodal frame sampling plumbing: per binary blob, 4 evenly-spaced
+    * frame (offset, length) windows — batch-shaped partition iterator, the
+    * real decoder drops in per batch (no codecs offline; the sampling
+    * geometry and partition/batch shape are the real, tested parts).
+    */
+  private def m2FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val frames = 4
+    blobs.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val n = bytes.length.toLong
+        (0 until frames).iterator.map { f =>
+          val off = n * f / frames
+          val end = n * (f + 1) / frames
+          (id, f, off, end - off)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_offset", "frame_len")
+  }
+
   /** document fingerprint: md5 of whitespace-normalized lowercase text. */
   private def t1Fingerprint(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -530,6 +589,32 @@ object Queries {
       .toDF("url", "list_name", "link_url", "link_text")
   }
 
+  /** second fixture family (books-style pages): unsupervised detect +
+    * title/price field extraction, DuckDB-oracled against the closed-form
+    * fixture table (reference golden `section > div:last-child > ol.row`,
+    * test_plain_list.py:18-24).
+    */
+  private def c8BooksExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = for (h <- 0 until 4; k <- 0L until 4L) yield (h, k)
+    s.createDataset(keys).repartition(8).flatMap { case (h, k) =>
+      val url = SyntheticWeb.booksPageUrl(h, k)
+      val html = SyntheticWeb.booksPageHtml(h, k, 4L)
+      val out = Detector.detectHtml(url, html.getBytes("UTF-8"))
+      out.lists.headOption.toSeq.flatMap { top =>
+        val titleF = top.fields.find(f =>
+          f.fieldType == "text" && f.selector.endsWith("h3 > a"))
+        val priceF = top.fields.find(f =>
+          f.fieldType == "text" && f.selector.endsWith("p.price_color"))
+        top.data.zipWithIndex.map { case (r, i) =>
+          (url, i,
+            titleF.flatMap(f => r.values.get(f.name)).getOrElse(""),
+            priceF.flatMap(f => r.values.get(f.name)).getOrElse(""))
+        }
+      }
+    }.toDF("url", "item_idx", "title", "price")
+  }
+
   // ------------------------------------------------------------------ registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -570,7 +655,11 @@ object Queries {
     "c2_extract_rows" -> (c2ExtractRows _),
     "c3_text_parity" -> (c3TextParity _),
     "c4_pagination" -> (c4Pagination _),
-    "c5_crawl_rounds" -> (c5CrawlRounds _))
+    "c5_crawl_rounds" -> (c5CrawlRounds _),
+    "c8_books_extract" -> (c8BooksExtract _),
+    "d9_embedding_dedup" -> (d9EmbeddingDedup _),
+    "t2_bpe_tokens" -> (t2BpeTokens _),
+    "m2_frame_sample" -> (m2FrameSample _))
 
   /** e2's oracle: the 8 sign-random-projection hyperplanes are deterministic
     * (fnv1a64-derived), so they are emitted as literal DOUBLE lists and DuckDB
@@ -803,6 +892,45 @@ object Queries {
     "t1_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    "t2_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id, f.range::INT AS frame_idx,
+        |  (octet_length(encode(text)) * f.range) // 4 AS frame_offset,
+        |  (octet_length(encode(text)) * (f.range + 1)) // 4
+        |    - (octet_length(encode(text)) * f.range) // 4 AS frame_len
+        |FROM documents, range(0, 4) f""".stripMargin,
+    "d9_embedding_dedup" ->
+      """WITH toksd AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+        |dims AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS dim,
+        |  count(*) AS w FROM toksd GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM dims GROUP BY 1),
+        |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  list_zip(ts[1:len(ts)-2], ts[2:len(ts)-1], ts[3:len(ts)]),
+        |  z -> z[1] || ' ' || z[2] || ' ' || z[3]))) AS sh FROM toks),
+        |sig AS (SELECT doc_id,
+        |  min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+        |  min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+        |FROM sh GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, 'b0:' || sig0 AS band FROM sig
+        |  UNION ALL SELECT doc_id, 'b1:' || sig1 FROM sig
+        |  UNION ALL SELECT doc_id, 'b2:' || sig2 FROM sig
+        |  UNION ALL SELECT doc_id, 'b3:' || sig3 FROM sig),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |dots AS (SELECT p.doc_a, p.doc_b, sum(a.w * b.w) AS dot
+        |  FROM pairs p
+        |  JOIN dims a ON a.doc_id = p.doc_a
+        |  JOIN dims b ON b.doc_id = p.doc_b AND b.dim = a.dim
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+        |FROM dots
+        |JOIN nrm na ON na.doc_id = doc_a
+        |JOIN nrm nb ON nb.doc_id = doc_b
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9""".stripMargin,
     "e1_cosine_knn" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),

@@ -169,6 +169,17 @@ object ExpectedDetect {
     }.toDF("url", "list_name", "link_url", "link_text")
   }
 
+  /** books fixture: (url, item_idx, title, price) in closed form. */
+  def c8(spark: SparkSession, nHosts: Int, nPerHost: Long): DataFrame = {
+    import spark.implicits._
+    (for (h <- 0 until nHosts; k <- 0L until nPerHost) yield (h, k)).flatMap {
+      case (h, k) =>
+        (0 until bookItemCount(h, k)).map { i =>
+          (booksPageUrl(h, k), i, bookTitle(h, k, i), f"£${bookPrice(h, k, i)}%.2f")
+        }
+    }.toDF("url", "item_idx", "title", "price")
+  }
+
   // --------------------------------------------------- c5: crawl simulator
 
   /** Independent single-threaded crawl simulator over the closed-form link
@@ -260,7 +271,8 @@ object ExpectedDetect {
       "c4_pagination" -> c4(spark, 24, 4),
       "c5_crawl_rounds" -> c5(spark, 64, 4, hostBudget = 4, roundSize = 32, maxRounds = 3),
       "c6_highlight" -> c6(spark, 16, 4),
-      "c7_links" -> c7(spark, 16, 4))
+      "c7_links" -> c7(spark, 16, 4),
+      "c8_books_extract" -> c8(spark, 4, 4))
     tables.map { case (name, df) =>
       val p = s"$dir/$name"
       df.coalesce(1).write.mode("overwrite").parquet(p)
@@ -274,7 +286,7 @@ object ExpectedDetect {
   def oracleSql: Map[String, String] = {
     val dir = outputDir
     Seq("c1_detect_lists", "c2_extract_rows", "c3_text_parity", "c4_pagination",
-      "c5_crawl_rounds", "c6_highlight", "c7_links")
+      "c5_crawl_rounds", "c6_highlight", "c7_links", "c8_books_extract")
       .map(n => n -> s"SELECT * FROM read_parquet('$dir/$n/*.parquet')")
       .toMap
   }

@@ -232,9 +232,23 @@ object SyntheticWeb {
     * unnamed wrapper div exercises the tag-only `:last-child` repr and the
     * `section` unique-feature stop condition.
     */
+  // ---- closed-form accessors for the books fixture (contract, like the
+  // quotes accessors above) ----
+  def bookItemCount(host: Int, k: Long): Int =
+    12 + (math.abs(mix(host.toLong, k, 0xb00c5L)) % 9).toInt // 12..20
+
+  def bookTitle(host: Int, k: Long, i: Int): String =
+    s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177eL)).capitalize} " +
+      s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177fL))} ${k}_$i"
+
+  def bookRating(host: Int, k: Long, i: Int): String =
+    Vector("Three", "Four")((math.abs(mix(host.toLong, k, i.toLong, 0x5a7L)) % 2).toInt)
+
+  def bookPrice(host: Int, k: Long, i: Int): Double =
+    10 + (math.abs(mix(host.toLong, k, i.toLong, 0x9a1ceL)) % 4500) / 100.0
+
   def booksPageHtml(host: Int, k: Long, nPagesOnHost: Long): String = {
-    val nItems = 12 + (math.abs(mix(host.toLong, k, 0xb00c5L)) % 9).toInt // 12..20
-    val ratings = Vector("Three", "Four") // two clusters, both >= 5 members
+    val nItems = bookItemCount(host, k)
     val sb = new StringBuilder(8192)
     sb ++= "<!DOCTYPE html>\n<html lang=\"en-us\"><head><title>Books</title></head>\n<body>\n"
     sb ++= "<div class=\"container-fluid page\">\n <div class=\"page_inner\">\n  <div class=\"row\">\n"
@@ -243,11 +257,10 @@ object SyntheticWeb {
     sb ++= "      <div>\n        <ol class=\"row\">\n"
     var i = 0
     while (i < nItems) {
-      val title = s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177eL)).capitalize} " +
-        s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177fL))} ${k}_$i"
+      val title = bookTitle(host, k, i)
       val slug = title.toLowerCase.replace(' ', '-')
-      val rating = ratings((math.abs(mix(host.toLong, k, i.toLong, 0x5a7L)) % 2).toInt)
-      val price = 10 + (math.abs(mix(host.toLong, k, i.toLong, 0x9a1ceL)) % 4500) / 100.0
+      val rating = bookRating(host, k, i)
+      val price = bookPrice(host, k, i)
       sb ++= "          <li class=\"col-xs-6 col-sm-4 col-md-3 col-lg-3\">\n"
       sb ++= "            <article class=\"product_pod\">\n"
       sb ++= s"              <div class=\"image_container\"><a href=\"catalogue/$slug/index.html\"><img src=\"media/$slug.jpg\" alt=\"${escAttr(title)}\" class=\"thumbnail\"></a></div>\n"
@@ -267,13 +280,11 @@ object SyntheticWeb {
     sb.result()
   }
 
-  def expectedBookTitles(host: Int, k: Long): Vector[String] = {
-    val nItems = 12 + (math.abs(mix(host.toLong, k, 0xb00c5L)) % 9).toInt
-    (0 until nItems).toVector.map { i =>
-      s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177eL)).capitalize} " +
-        s"${pick(Words, mix(host.toLong, k, i.toLong, 0x7177fL))} ${k}_$i"
-    }
-  }
+  def expectedBookTitles(host: Int, k: Long): Vector[String] =
+    (0 until bookItemCount(host, k)).toVector.map(bookTitle(host, k, _))
+
+  def booksPageUrl(host: Int, k: Long): String =
+    s"https://books-host$host.example/page-${k + 1}.html"
 
   val GoldenBooksListSelector = "section > div:last-child > ol.row"
 

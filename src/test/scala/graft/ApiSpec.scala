@@ -182,6 +182,26 @@ class ApiSpec extends AnyFunSuite {
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("streaming: detect map over a page firehose equals the batch path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pagestream-").toString
+    SyntheticWeb.pagesFast(spark, 12, 4, 4).toDF()
+      .write.parquet(s"$dir/pages")
+    val streamed = EventStream.runToMemory(
+      graft.streaming.PageStream.detectCounts(
+        graft.streaming.PageStream.readPages(spark, s"$dir/pages")),
+      "page_stream_test")
+    val batch = spark.read.parquet(s"$dir/pages").as[graft.detect.Page]
+      .map { p =>
+        val out = Detector.detectHtml(p.url, p.html)
+        (p.url, out.nNodes, out.lists.size, out.lists.map(_.data.size).sum,
+          out.pagination.map(_.nextUrl).orNull)
+      }.toDF("url", "n_nodes", "n_lists", "n_rows", "next_url")
+    val a = streamed.orderBy("url").collect().map(_.toSeq)
+    val b = batch.orderBy("url").collect().map(_.toSeq)
+    assert(a.length == 12 && a.sameElements(b))
+  }
+
   test("streaming: stateful sessionization closes sessions on gap") {
     import spark.implicits._
     val events = Seq(

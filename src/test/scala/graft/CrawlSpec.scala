@@ -181,6 +181,37 @@ class CrawlSpec extends AnyFunSuite {
     assert(excluded.toSet == Set("/", "https://host3.example/page/0"))
   }
 
+  test("robots.txt parsing: groups, agent specificity, crawl-delay") {
+    val body =
+      """# example robots file
+        |User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 1.5
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /tag
+        |Disallow: /search
+        |
+        |User-agent: evilbot
+        |Disallow: /
+        |Sitemap: https://h.example/sitemap.xml
+        |""".stripMargin
+    val r = graft.frontier.Robots.rule("h.example", body, userAgent = "graftbot/1.0")
+    assert(r.disallow_prefixes == Seq("/tag", "/search"))
+    assert(r.crawl_delay_ms == 0L)
+    val fallback = graft.frontier.Robots.rule("h.example", body, userAgent = "randombot")
+    assert(fallback.disallow_prefixes == Seq("/private"))
+    assert(fallback.crawl_delay_ms == 1500L)
+    val evil = graft.frontier.Robots.rule("h.example", body, userAgent = "EvilBot/2")
+    assert(evil.disallow_prefixes == Seq("/"))
+    // empty / missing robots allows everything
+    assert(graft.frontier.Robots.rule("h.example", "").disallow_prefixes.isEmpty)
+    // empty Disallow in a matching group allows everything
+    val open = "User-agent: *\nDisallow:\n"
+    assert(graft.frontier.Robots.rule("h.example", open).disallow_prefixes.isEmpty)
+  }
+
   test("robots filter blocks disallowed prefixes") {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()

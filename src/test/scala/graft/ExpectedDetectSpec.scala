@@ -65,6 +65,10 @@ class ExpectedDetectSpec extends AnyFunSuite {
     assertSame("c7", q("c7_links"), ExpectedDetect.c7(spark, 16, 4))
   }
 
+  test("c8_books_extract matches the closed-form fixture table") {
+    assertSame("c8", q("c8_books_extract"), ExpectedDetect.c8(spark, 4, 4))
+  }
+
   test("closed-form links match the engine's extracted links per page") {
     for ((h, k, n) <- ExpectedDetect.fastPages(16, 4)) {
       val html = SyntheticWeb.pageHtml(h, k, n, 4).getBytes("UTF-8")
