@@ -69,11 +69,34 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
   def containsId(id: Int): Boolean = idToIdx.containsKey(id)
 
   /** Per node: one-hot feature names restricted to tag/id/class/style
-    * (graph_loader.py:148-150 + node.py pseudo-class filter).
+    * (graph_loader.py:148-150 + node.py pseudo-class filter). Single fused
+    * pass over the attrs — semantically `featureNames.filter(available)`
+    * (tag first, attrs in source order, class exploded per token,
+    * pseudo-class-looking class values dropped, first-occurrence distinct)
+    * without the intermediate rawFeatures/features/featureNames vectors;
+    * this runs per node inside the detect map and the chain of throwaway
+    * vectors was measurable memory traffic at 16 threads.
     */
-  val nodeFeatureNames: Array[Vector[String]] =
-    nodeIds.map(id => doc(id).featureNames.filter(f =>
-      AvailableFeatureKeys.contains(f.substring(0, f.indexOf('=')))))
+  val nodeFeatureNames: Array[Vector[String]] = nodeIds.map { id =>
+    val nd = doc(id)
+    val b = Vector.newBuilder[String]
+    var seen: mutable.Set[String] = null // lazily created; most nodes have no dups
+    var out = List.empty[String]
+    def add(f: String): Unit = {
+      if (seen == null) {
+        if (!out.contains(f)) { out ::= f; b += f }
+        if (out.length > 8) { seen = mutable.Set(out: _*) }
+      } else if (seen.add(f)) b += f
+    }
+    add(s"tag=${nd.tag}")
+    nd.attrs.foreach { case (k, v) =>
+      if (k == "class") graft.dom.Ws.tokens(v).foreach { t =>
+        if (!t.contains(":")) add(s"class=$t")
+      }
+      else if (k == "id" || k == "style") add(s"$k=$v")
+    }
+    b.result()
+  }
 
   /** DictVectorizer analog: sorted distinct feature names → column index
     * (sklearn DictVectorizer sorts feature names; graph_loader.py:213).
@@ -100,17 +123,23 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
     * kept node (graph_loader.py:217-223 edge_nodes filter).
     */
   val childrenIdx: Array[Array[Int]] = {
-    val bufs = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    // two-pass count + fill: no per-node growable buffers
+    val counts = new Array[Int](n)
     var i = 0
     while (i < n) {
-      val pid = node(i).parentId
-      if (pid >= 0) {
-        val pIdx = indexOfId(pid)
-        if (pIdx >= 0) bufs(pIdx) += i
-      }
+      val pIdx = indexOfId(node(i).parentId)
+      if (pIdx >= 0) counts(pIdx) += 1
       i += 1
     }
-    bufs.map(_.toArray)
+    val out = Array.tabulate(n)(j => new Array[Int](counts(j)))
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val pIdx = indexOfId(node(i).parentId)
+      if (pIdx >= 0) { out(pIdx)(fill(pIdx)) = i; fill(pIdx) += 1 }
+      i += 1
+    }
+    out
   }
 
   /** node text per reference semantics (graph_loader.py:241-243). */

@@ -71,12 +71,14 @@ object Pagination {
     val nextHref = g.node(bestIdx).attr("href").get
     val target = UrlOps.transformUrl(url, nextHref)
 
-    // last link whose resolved url == next url (pagination.py:83-87, W6)
-    val matching = linkIdxs.filter { i =>
+    // last link whose resolved url == next url (pagination.py:83-87, W6) —
+    // walk from the END and stop at the first hit (each transform parses
+    // the url; no need to resolve every link on the page twice)
+    val matching = linkIdxs.reverseIterator.find { i =>
       UrlOps.transformUrl(url, g.node(i).attr("href").get) == target
     }
     if (matching.isEmpty) return None
-    val nextNode = g.node(matching.last)
+    val nextNode = g.node(matching.get)
     Some(PaginationOut(
       selector = g.selectorPath(nextNode),
       nodeId = nextNode.id,

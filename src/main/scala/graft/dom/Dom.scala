@@ -16,7 +16,7 @@ sealed trait DomContent
 final case class TextSeg(text: String) extends DomContent
 final case class ChildRef(id: Int) extends DomContent
 
-private[dom] object Ws {
+private[graft] object Ws {
   /** whitespace tokenization (non-empty tokens) — the per-node class/feature
     * splits run inside the fused detect map; `split("\\s+")` recompiles its
     * pattern per call.
@@ -59,11 +59,25 @@ final case class DomNode(
     content.collect { case TextSeg(t) => t.strip() }.filter(_.nonEmpty)
 
   /** Reference `_get_node_text`: single text kept as-is, several joined by a
-    * single space, none => null (graph_loader.py:183-192).
+    * single space, none => null (graph_loader.py:183-192). Single pass, no
+    * intermediate collection (runs per node inside the fused detect map).
     */
   def nodeText: String = {
-    val ts = directTexts
-    if (ts.isEmpty) null else ts.mkString(" ")
+    var sb: StringBuilder = null
+    var single: String = null
+    content.foreach {
+      case TextSeg(t) =>
+        val s = t.strip()
+        if (s.nonEmpty) {
+          if (single == null && sb == null) single = s
+          else {
+            if (sb == null) sb = new StringBuilder(single)
+            sb.append(' ').append(s)
+          }
+        }
+      case _ =>
+    }
+    if (sb != null) sb.toString else single
   }
 
   /** Raw (k, v) feature pairs: ('tag', tag) plus flattened attributes, class

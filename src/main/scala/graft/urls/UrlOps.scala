@@ -67,8 +67,31 @@ object UrlOps {
     sb.result()
   }
 
-  /** RFC 3986 dot-segment removal (urljoin behavior). */
+  /** RFC 3986 dot-segment removal (urljoin behavior). Fast path: paths
+    * without any "." segment (the overwhelming majority of crawl candidates
+    * — the frontier canonicalizes millions per round) return unchanged with
+    * zero allocation.
+    */
   def removeDotSegments(path: String): String = {
+    if (!needsDotRemoval(path)) return path
+    removeDotSegmentsSlow(path)
+  }
+
+  /** conservative: true iff some path segment could be "." or ".." (false
+    * positives just take the slow path; segments like "a.html" stay fast).
+    */
+  private def needsDotRemoval(path: String): Boolean = {
+    var i = path.indexOf('.')
+    while (i >= 0) {
+      val segStart = i == 0 || path.charAt(i - 1) == '/' || path.charAt(i - 1) == '.'
+      val segEnd = i + 1 == path.length || path.charAt(i + 1) == '/' || path.charAt(i + 1) == '.'
+      if (segStart && segEnd) return true
+      i = path.indexOf('.', i + 1)
+    }
+    false
+  }
+
+  private def removeDotSegmentsSlow(path: String): String = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val segs = path.split("/", -1)
     val absolute = path.startsWith("/")
@@ -137,11 +160,21 @@ object UrlOps {
 
   private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
 
+  /** toLowerCase with an identity fast path — most crawl-candidate schemes
+    * and hosts are already lowercase; the copy was pure allocation traffic.
+    */
+  private def lowerFast(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && Character.toLowerCase(s.charAt(i)) == s.charAt(i)) i += 1
+    if (i == n) s else s.toLowerCase
+  }
+
   /** Scrapy-style canonical url for fingerprinting (settings.py:90). */
   def canonicalize(url: String): String = {
     val p = parse(url)
-    val scheme = p.scheme.toLowerCase
-    val host = p.host.toLowerCase
+    val scheme = lowerFast(p.scheme)
+    val host = lowerFast(p.host)
     val port = p.port match {
       case Some(pt) if DefaultPorts.get(scheme).contains(pt) => ""
       case Some(pt) => s":$pt"
@@ -162,8 +195,8 @@ object UrlOps {
     */
   def canonicalParts(url: String): (String, String) = {
     val p = parse(url)
-    val scheme = p.scheme.toLowerCase
-    val host = p.host.toLowerCase
+    val scheme = lowerFast(p.scheme)
+    val host = lowerFast(p.host)
     val port = p.port match {
       case Some(pt) if DefaultPorts.get(scheme).contains(pt) => ""
       case Some(pt) => s":$pt"
@@ -176,20 +209,34 @@ object UrlOps {
     (s"$scheme://$host$port$path$query", host)
   }
 
-  def hostOf(url: String): String = parse(url).host.toLowerCase
+  def hostOf(url: String): String = lowerFast(parse(url).host)
 
   def hostHash(url: String): Int = {
     val h = fnv1a64(hostOf(url))
     (h ^ (h >>> 32)).toInt
   }
 
+  /** FNV-1a over the string's UTF-8 bytes, encoded inline — no byte-array
+    * allocation (the frontier hashes two strings per candidate url, millions
+    * per round).
+    */
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    @inline def mix(b: Int): Unit = { h ^= (b & 0xffL); h *= 0x100000001b3L }
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x80) mix(c)
+      else if (c < 0x800) { mix(0xc0 | (c >> 6)); mix(0x80 | (c & 0x3f)) }
+      else if (Character.isHighSurrogate(c) && i + 1 < n &&
+        Character.isLowSurrogate(s.charAt(i + 1))) {
+        val cp = Character.toCodePoint(c, s.charAt(i + 1))
+        i += 1
+        mix(0xf0 | (cp >> 18)); mix(0x80 | ((cp >> 12) & 0x3f))
+        mix(0x80 | ((cp >> 6) & 0x3f)); mix(0x80 | (cp & 0x3f))
+      } else if (Character.isSurrogate(c)) mix('?') // lone surrogate: as String.getBytes(UTF_8)
+      else { mix(0xe0 | (c >> 12)); mix(0x80 | ((c >> 6) & 0x3f)); mix(0x80 | (c & 0x3f)) }
       i += 1
     }
     h
