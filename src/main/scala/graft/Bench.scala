@@ -71,13 +71,13 @@ object Bench {
       val warm = math.min(10000, nPages)
       val warmCfg = cfg.copy(roundSize = warm)
       CrawlEngine.run(spark, pages, seedUrls.take(warm), robots, warmCfg,
-        java.nio.file.Files.createTempDirectory("graft-warm-").toString,
+        graft.util.TempDirs.create("graft-warm-").toString,
         collectOutputs = false)
       var best = 0.0
       var extracted = 0L
       var t = 0
       while (t < trials) {
-        val stateDir = java.nio.file.Files.createTempDirectory(s"graft-bench-$cpus-").toString
+        val stateDir = graft.util.TempDirs.create(s"graft-bench-$cpus-").toString
         // bootstrap the v0 frontier snapshot OUTSIDE the timed section: the
         // metric is drain+extract of an EXISTING frontier table (production
         // resumes from a committed snapshot), not seed ingestion

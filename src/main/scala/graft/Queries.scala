@@ -477,7 +477,7 @@ object Queries {
     * memory sink) — must equal the batch oracle exactly.
     */
   private def s4StreamHourly(s: SparkSession, d: String): DataFrame = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-q-events-")
+    val streamDir = graft.util.TempDirs.create("graft-q-events-")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
       streamDir.resolve("events.parquet"))
     val stream = graft.streaming.EventStream.readEvents(s, streamDir.toString)
@@ -548,7 +548,7 @@ object Queries {
     val nHosts = 4
     val pages = SyntheticWeb.pagesFast(s, nPages = 64, nHosts = nHosts, nPartitions = 8)
       .toDF().cache()
-    val stateDir = java.nio.file.Files.createTempDirectory("graft-crawl-").toString
+    val stateDir = graft.util.TempDirs.create("graft-crawl-").toString
     val cfg = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 4, roundSize = 32,
       maxRounds = 3)
     val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
@@ -696,8 +696,17 @@ object Queries {
   /** SQL oracles. The c1–c7 detect/crawl entries read the CLOSED-FORM
     * expected tables (graft.tables.ExpectedDetect — derived from the fixture
     * spec, never from the engine) that Verify materializes to parquet.
+    * If those tables are absent (cwd mismatch — ExpectedDetect.oracleSql
+    * fails loudly), degrade to the static oracles so the rest of the round
+    * still verifies, and shout on stderr.
     */
-  def oracles: Map[String, String] = staticOracles ++ graft.tables.ExpectedDetect.oracleSql
+  def oracles: Map[String, String] = staticOracles ++ (
+    try graft.tables.ExpectedDetect.oracleSql
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(s"[queries] FATAL fixture-oracle generation failed: ${e.getMessage}")
+        Map.empty[String, String]
+    })
 
   private val staticOracles: Map[String, String] = Map(
     "e2_knn_lsh" -> e2OracleSql,

@@ -66,8 +66,13 @@ object PaginationCrawl {
   /** Crawl all chains: learn on each seed, then advance every chain one hop
     * per batch iteration.
     */
+  /** `workDir`: where per-hop rows spill (the returned Dataset lazily reads
+    * it, so it must outlive consumption). Default: a temp dir cleaned at JVM
+    * exit (graft.util.TempDirs); pass an explicit dir to keep the result
+    * across processes.
+    */
   def crawl(spark: SparkSession, pages: DataFrame, seeds: Seq[String],
-      maxHops: Int = 32): Dataset[CrawlRow] = {
+      maxHops: Int = 32, workDir: Option[String] = None): Dataset[CrawlRow] = {
     import spark.implicits._
 
     val pagesKv = pages.select($"url", $"html")
@@ -88,7 +93,8 @@ object PaginationCrawl {
     // union lineage with never-released persists: each hop's cache is freed
     // as soon as its rows are written, and the returned Dataset reads a flat
     // table (bounded plan depth at any chain length)
-    val outDir = java.nio.file.Files.createTempDirectory("graft-pagcrawl-").toString
+    val outDir = workDir.getOrElse(
+      graft.util.TempDirs.create("graft-pagcrawl-").toString)
     var wroteAny = false
     var hop = 0
     while (chains.nonEmpty && hop < maxHops) {

@@ -93,7 +93,7 @@ object EventStream {
     * explicit checkpoint dir that outlives the query, and stop() explicitly.
     */
   private def runWith(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-ckpt-$name-")
+    val ckpt = graft.util.TempDirs.create(s"graft-ckpt-$name-")
     val q = df.writeStream
       .format("memory")
       .queryName(name)

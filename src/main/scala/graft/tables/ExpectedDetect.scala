@@ -254,10 +254,16 @@ object ExpectedDetect {
   }
 
   /** Absolute dir the expected tables are written to (and the oracle SQL
-    * reads from) — resolved at runtime against the repo root cwd.
+    * reads from). Anchored explicitly: GRAFT_EXPECTED_DIR wins, else the
+    * directory of this class's compiled location... is not knowable offline,
+    * so fall back to cwd — and oracleSql FAILS LOUDLY if the tables are not
+    * where the SQL will point (a cwd mismatch between the writing job and
+    * the verify driver would otherwise read nothing or stale tables).
     */
   def outputDir: String =
-    new java.io.File("target/verify-expected").getAbsolutePath
+    sys.env.get("GRAFT_EXPECTED_DIR")
+      .map(new java.io.File(_).getAbsolutePath)
+      .getOrElse(new java.io.File("target/verify-expected").getAbsolutePath)
 
   /** Write every expected table; returns name -> path. Parameters MUST match
     * the corresponding Queries entries.
@@ -285,9 +291,13 @@ object ExpectedDetect {
     */
   def oracleSql: Map[String, String] = {
     val dir = outputDir
-    Seq("c1_detect_lists", "c2_extract_rows", "c3_text_parity", "c4_pagination",
-      "c5_crawl_rounds", "c6_highlight", "c7_links", "c8_books_extract")
-      .map(n => n -> s"SELECT * FROM read_parquet('$dir/$n/*.parquet')")
-      .toMap
+    val names = Seq("c1_detect_lists", "c2_extract_rows", "c3_text_parity",
+      "c4_pagination", "c5_crawl_rounds", "c6_highlight", "c7_links",
+      "c8_books_extract")
+    val missing = names.filterNot(n => new java.io.File(s"$dir/$n").isDirectory)
+    require(missing.isEmpty,
+      s"expected tables absent under $dir (run ExpectedDetect.writeAll from " +
+        s"the same working dir / GRAFT_EXPECTED_DIR first): ${missing.mkString(", ")}")
+    names.map(n => n -> s"SELECT * FROM read_parquet('$dir/$n/*.parquet')").toMap
   }
 }
