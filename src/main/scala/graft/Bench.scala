@@ -64,7 +64,7 @@ object Bench {
       val hostMax = (1 until (nHosts + 1)).map(h => cuts(h) - cuts(h - 1)).max.toInt
       val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
         roundSize = nPages, maxRounds = 1, lineageDetail = false)
-      val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
+      val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, Seq.empty, r._2, r._3))
       // JIT warmup: an untimed crawl through the same code path — 10k pages,
       // or the first timed trial still pays residual compilation (observed
       // ~7% on trial 1 with a 5k warmup)

@@ -551,7 +551,7 @@ object Queries {
     val stateDir = graft.util.TempDirs.create("graft-crawl-").toString
     val cfg = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 4, roundSize = 32,
       maxRounds = 3)
-    val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
+    val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, Seq.empty, r._2, r._3))
     CrawlEngine.run(s, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir,
       collectOutputs = false)
     val m = graft.tables.SnapshotStore.latestManifest(stateDir).get

@@ -40,7 +40,8 @@ final case class PageOutput(
     next_url: String,
     links: Seq[String])
 
-final case class RobotsRule(host: String, disallow_prefixes: Seq[String], crawl_delay_ms: Long)
+final case class RobotsRule(host: String, allow_prefixes: Seq[String],
+    disallow_prefixes: Seq[String], crawl_delay_ms: Long)
 
 final case class CrawlConfig(
     numBuckets: Int = 32,
@@ -108,11 +109,11 @@ object CrawlEngine {
       (((h % numBuckets) + numBuckets) % numBuckets).toInt, -depth, depth, round)
   }
 
-  def robotsAllowed(rules: Map[String, Seq[String]], url: String): Boolean = {
+  def robotsAllowed(rules: Map[String, RobotsRule], url: String): Boolean = {
     val p = UrlOps.parse(url)
     rules.get(p.host.toLowerCase) match {
       case None => true
-      case Some(prefixes) => !prefixes.exists(pre => p.path.startsWith(pre))
+      case Some(r) => Robots.allowed(p.path, r.allow_prefixes, r.disallow_prefixes)
     }
   }
 
@@ -157,7 +158,7 @@ object CrawlEngine {
       seen: Dataset[SeenEntry],
       filters: Dataset[FilterState],
       pages: DataFrame, // url, html (+ any other cols)
-      robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, Seq[String]]],
+      robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]],
       cfg: CrawlConfig): (Dataset[FrontierEntry], DataFrame, Dataset[SeenEntry],
       Dataset[FilterState], Dataset[PageOutput], Dataset[LineageRow], RoundStats,
       Seq[Dataset[_]]) = {
@@ -351,7 +352,7 @@ object CrawlEngine {
     import spark.implicits._
 
     val robotsBc = spark.sparkContext.broadcast(
-      robotsRules.map(r => r.host.toLowerCase -> r.disallow_prefixes).toMap)
+      robotsRules.map(r => r.host.toLowerCase -> r).toMap)
 
     // resume from the latest committed snapshot, or bootstrap a v0 snapshot
     // from the seeds (so every later commit is uniform: full rewrite for

@@ -33,7 +33,7 @@ class CrawlSpec extends AnyFunSuite {
       .collect().map(p => p.url -> p.html).toMap
   }
   val robots: Seq[RobotsRule] =
-    SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3))
+    SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, Seq.empty, r._2, r._3))
   val cfg: CrawlConfig = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 3,
     roundSize = 16, maxRounds = 12)
 
@@ -210,6 +210,31 @@ class CrawlSpec extends AnyFunSuite {
     // empty Disallow in a matching group allows everything
     val open = "User-agent: *\nDisallow:\n"
     assert(graft.frontier.Robots.rule("h.example", open).disallow_prefixes.isEmpty)
+  }
+
+  test("robots Allow: RFC 9309 longest-match precedence, allow wins ties") {
+    val body =
+      """User-agent: *
+        |Disallow: /
+        |Allow: /public
+        |Disallow: /public/secret
+        |Allow: /public/secret/ok
+        |""".stripMargin
+    val r = graft.frontier.Robots.rule("h.example", body)
+    assert(r.allow_prefixes == Seq("/public", "/public/secret/ok"))
+    assert(r.disallow_prefixes == Seq("/", "/public/secret"))
+    import graft.frontier.Robots.allowed
+    assert(!allowed("/anything", r.allow_prefixes, r.disallow_prefixes))
+    assert(allowed("/public/page", r.allow_prefixes, r.disallow_prefixes))
+    assert(!allowed("/public/secret/x", r.allow_prefixes, r.disallow_prefixes))
+    assert(allowed("/public/secret/ok/x", r.allow_prefixes, r.disallow_prefixes))
+    // tie: Allow and Disallow same length -> allow wins
+    assert(allowed("/a", Seq("/a"), Seq("/a")))
+    // no matching disallow -> allowed regardless of allows
+    assert(allowed("/elsewhere", Seq.empty, Seq("/private")))
+    // serialize/parse round-trip preserves the rule
+    val rt = graft.frontier.Robots.rule("h.example", graft.frontier.Robots.serialize(r))
+    assert(rt == r)
   }
 
   test("robots filter blocks disallowed prefixes") {
