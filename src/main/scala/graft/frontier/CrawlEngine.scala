@@ -63,7 +63,16 @@ final case class CrawlConfig(
     // frontier commits are append-only deltas (adds + drained-key tombstones);
     // every N rounds — or when tombstones outnumber live rows — the frontier
     // is compacted to a single rewrite so reads never degrade unboundedly
-    compactEveryRounds: Int = 8)
+    compactEveryRounds: Int = 8,
+    // cuckoo-filter fold policy: new seen keys accumulate as PENDING deltas
+    // (probed exactly, never written twice) and are folded into the filter
+    // blobs only when pending >= max(foldMinKeys, foldFrac * seen) — so
+    // filter bytes written per round amortize to O(new keys), not O(seen).
+    // A bucket whose filter would exceed the load limit at fold time is
+    // REBUILT at 2x capacity from the exact seen table (geometric growth:
+    // the stash stays empty at any seen-set size).
+    foldMinKeys: Long = 4096,
+    foldFrac: Double = 0.2)
 
 final case class CrawlStats(rounds: Int, fetched: Long, extractedRows: Long, seenSize: Long)
 final case class RoundStats(drained: Long, fetched: Long, extracted: Long, newUrls: Long)
@@ -148,7 +157,13 @@ object CrawlEngine {
   }
 
   /** One fetch-schedule round. Returns (frontier add-delta, drained keys,
-    * seen delta, new filters, outputs, lineage, stats, round caches).
+    * seen delta, outputs, lineage, stats, round caches).
+    *
+    * `pendingSeen`: url_hash rows already committed to the seen table but not
+    * yet folded into the filter blobs (the filters are allowed to lag — see
+    * CrawlConfig fold policy). A cuckoo MISS is only "definitely new" after
+    * an exact anti-join against this (small, bounded) pending set; a cuckoo
+    * HIT still anti-joins the full seen table as before.
     */
   def round(
       spark: SparkSession,
@@ -157,10 +172,11 @@ object CrawlEngine {
       frontierSize: Long,
       seen: Dataset[SeenEntry],
       filters: Dataset[FilterState],
+      pendingSeen: Option[DataFrame],
       pages: DataFrame, // url, html (+ any other cols)
       robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]],
       cfg: CrawlConfig): (Dataset[FrontierEntry], DataFrame, Dataset[SeenEntry],
-      Dataset[FilterState], Dataset[PageOutput], Dataset[LineageRow], RoundStats,
+      Dataset[PageOutput], Dataset[LineageRow], RoundStats,
       Seq[Dataset[_]]) = {
     import spark.implicits._
 
@@ -271,12 +287,21 @@ object CrawlEngine {
         val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
         cs.map(c => (c, filt.exists(_.contains(c.url_hash))))
       }.persist()
-    val definiteNew = probed.filter(!_._2).map(_._1)
-    // exactness backstop (J5): anti-join ONLY the cuckoo-positive subset
     // NB: a key-list join reorders columns (join key first) while Dataset
     // union is positional — realign by name before unioning.
     val feCols = Seq("url", "url_hash", "host", "host_hash", "bucket",
       "priority", "depth", "discovered_round").map(col)
+    // cuckoo MISS: new unless in the not-yet-folded pending seen deltas
+    // (exact, small); the filter has no false negatives for FOLDED keys
+    val cuckooNeg = probed.filter(!_._2).map(_._1)
+    val definiteNew = pendingSeen match {
+      case None => cuckooNeg
+      case Some(p) => cuckooNeg
+        .join(p.select($"url_hash"), Seq("url_hash"), "left_anti")
+        .select(feCols: _*)
+        .as[FrontierEntry]
+    }
+    // exactness backstop (J5): anti-join ONLY the cuckoo-positive subset
     val fpNew = probed.filter(_._2).map(_._1)
       .join(seen, Seq("url_hash"), "left_anti")
       .select(feCols: _*)
@@ -286,19 +311,10 @@ object CrawlEngine {
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
     // append-only delta: ONLY the newly-enqueued urls (the full seen set is
-    // the union of all committed deltas — never rewritten)
+    // the union of all committed deltas — never rewritten). The filter blobs
+    // are NOT touched here: new keys stay pending until the fold policy
+    // triggers (run() commit path), so a round writes O(new) filter bytes.
     val seenDelta = newEntries.map(e => SeenEntry(e.bucket, e.url_hash))
-    val cap = cfg.filterCapacityPerBucket
-    val newFilters = newEntries.map(e => SeenEntry(e.bucket, e.url_hash))
-      .groupByKey(_.bucket)
-      .cogroup(filters.groupByKey(_.bucket)) { (b, ns, fs) =>
-        val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
-          .getOrElse(CuckooFilter.create(cap))
-        var any = false
-        ns.foreach { s => filt.add(s.url_hash); any = true }
-        if (any || filt.size > 0) Iterator.single(FilterState(b, filt.toBytes, filt.size))
-        else Iterator.empty
-      }
 
     // --- lineage (A-9): per-bucket counters only in detail mode; the global
     // round counters (bucket -1) always, computed from already-known values
@@ -323,8 +339,61 @@ object CrawlEngine {
       }
 
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
-    (newEntries, drainedKeys, seenDelta, newFilters, outputs, lineage, stats,
+    (newEntries, drainedKeys, seenDelta, outputs, lineage, stats,
       Seq(drained, outputs, probed, newEntries))
+  }
+
+  /** Fold pending seen keys into the per-bucket cuckoo filters, growing any
+    * bucket that would exceed the load limit by REBUILDING it at 2x capacity
+    * from the exact seen table (CuckooFilter.rebuild — keys are re-derivable,
+    * so the filter never degrades into its exact stash). Returns the full
+    * rewritten filters table; amortized write cost is O(1) per key because
+    * folds trigger proportionally to the seen size and rebuilds double.
+    */
+  def foldFilters(
+      spark: SparkSession,
+      filters: Dataset[FilterState],
+      pendingKeys: Dataset[SeenEntry],
+      seenAll: Dataset[SeenEntry],
+      initialCapacity: Long): Dataset[FilterState] = {
+    import spark.implicits._
+    val cap = initialCapacity
+    // pass 1: insert where room; mark overfull buckets for rebuild
+    val folded = pendingKeys.groupByKey(_.bucket)
+      .cogroup(filters.groupByKey(_.bucket)) { (b, ns, fs) =>
+        val keys = ns.map(_.url_hash).toArray
+        val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
+          .getOrElse(CuckooFilter.create(cap))
+        if (keys.isEmpty && filt.size == 0) Iterator.empty
+        else if (filt.hasRoomFor(keys.length)) {
+          keys.foreach(filt.add)
+          Iterator.single((FilterState(b, filt.toBytes, filt.size), false))
+        } else
+          // target size for the rebuild: everything it must hold, doubled
+          Iterator.single((FilterState(b, Array.emptyByteArray,
+            filt.size + keys.length), true))
+      }.persist()
+    val rebuildSizes = folded.filter(_._2).map(t => (t._1.bucket, t._1.n_keys))
+      .collect().toMap // one small int->long pair per overfull bucket
+    val result =
+      if (rebuildSizes.isEmpty) folded.map(_._1)
+      else {
+        val sizesBc = spark.sparkContext.broadcast(rebuildSizes)
+        val buckets = rebuildSizes.keySet
+        val rebuilt = seenAll.filter(s => buckets.contains(s.bucket))
+          .groupByKey(_.bucket)
+          .mapGroups { (b, it) =>
+            val f = CuckooFilter.rebuild(it.map(_.url_hash),
+              math.max(2L * sizesBc.value(b), cap))
+            FilterState(b, f.toBytes, f.size)
+          }
+        folded.filter(!_._2).map(_._1).union(rebuilt)
+      }
+    // materialize before unpersisting the 2-pass intermediate
+    val out = result.persist()
+    out.count()
+    folded.unpersist()
+    out
   }
 
   /** Current frontier = union of add-deltas minus drained-key tombstones. */
@@ -355,9 +424,20 @@ object CrawlEngine {
       robotsRules.map(r => r.host.toLowerCase -> r).toMap)
 
     // resume from the latest committed snapshot, or bootstrap a v0 snapshot
-    // from the seeds (so every later commit is uniform: full rewrite for
-    // filters, append-only delta for frontier/seen/lineage)
-    var manifest: SnapshotStore.Manifest = SnapshotStore.latestManifest(stateDir)
+    // from the seeds (so every later commit is uniform: append-only delta for
+    // frontier/seen/lineage; filters rewritten only on fold rounds)
+    val existing = SnapshotStore.latestManifest(stateDir)
+    // format guard (round-2 ADVICE): a pre-delta-format snapshot (a full
+    // `frontier` table / no frontier_size counter) would otherwise resume as
+    // an empty frontier and "succeed" with zero rounds
+    existing.foreach { m =>
+      if (m.dataDirs.contains("frontier") || !m.counters.contains("frontier_size"))
+        throw new IllegalStateException(
+          s"incompatible legacy snapshot format in $stateDir (expected the " +
+            "delta format: frontier_adds/frontier_rm tables + frontier_size " +
+            "counter); re-bootstrap into a fresh state dir")
+    }
+    var manifest: SnapshotStore.Manifest = existing
       .getOrElse {
         // P14: test-mode seed skip (web_spider.py:68-69)
         val effSeeds =
@@ -367,9 +447,13 @@ object CrawlEngine {
         val seedFrontier = seedEntries.toDS()
         val seedSeen = seedFrontier.map(e => SeenEntry(e.bucket, e.url_hash))
         val cap = cfg.filterCapacityPerBucket
+        // size each bucket's filter for its actual seed volume (2x headroom),
+        // never below the configured floor — a 10M-seed bootstrap must not
+        // overflow a fixed 2^16 capacity into the exact stash
         val filters0 = seedSeen.groupByKey(_.bucket).mapGroups { (b, ss) =>
-          val f = CuckooFilter.create(cap)
-          ss.foreach(s => f.add(s.url_hash))
+          val keys = ss.map(_.url_hash).toArray
+          val f = CuckooFilter.rebuild(keys.iterator,
+            math.max(cap, 2L * keys.length))
           FilterState(b, f.toBytes, f.size)
         }
         SnapshotStore.commit(stateDir, 0,
@@ -377,7 +461,8 @@ object CrawlEngine {
           Map("round" -> -1L, "fetched" -> 0L, "extracted" -> 0L,
             "seen" -> seedEntries.length.toLong,
             "frontier_size" -> seedEntries.length.toLong,
-            "frontier_rm_size" -> 0L),
+            "frontier_rm_size" -> 0L,
+            "filters_folded_dirs" -> 1L, "pending_keys" -> 0L),
           deltas = Map(
             "frontier_adds" -> (seedFrontier.toDF(), Seq.empty),
             "frontier_rm" -> (spark.emptyDataset[SeenEntry].toDF()
@@ -391,15 +476,25 @@ object CrawlEngine {
     var seenTotal = manifest.counters.getOrElse("seen", 0L)
     var frontierSize = manifest.counters.getOrElse("frontier_size", 0L)
     var rmSize = manifest.counters.getOrElse("frontier_rm_size", 0L)
+    // fold bookkeeping: how many committed seen-delta dirs the filter blobs
+    // already reflect, and how many keys are pending since the last fold.
+    // (Round-2-format snapshots folded every round: default = all dirs.)
+    var foldedDirs = manifest.counters.getOrElse("filters_folded_dirs",
+      SnapshotStore.dirsOf(manifest, "seen").length.toLong).toInt
+    var pendingKeys = manifest.counters.getOrElse("pending_keys", 0L)
 
     var continue = true
     while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
       val frontier = readFrontier(spark, manifest)
+      val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
       val seen = SnapshotStore.read(spark, manifest, "seen").as[SeenEntry]
       val filters = SnapshotStore.read(spark, manifest, "filters").as[FilterState]
-      val (adds, drainedKeys, seenDelta, nfl, outputs, lineage, stats, caches) =
-        round(spark, roundNo, frontier, frontierSize, seen, filters, pages,
-          robotsBc, cfg)
+      val pendingDirs = seenDirs.drop(foldedDirs)
+      val pendingSeen =
+        if (pendingDirs.isEmpty) None else Some(spark.read.parquet(pendingDirs: _*))
+      val (adds, drainedKeys, seenDelta, outputs, lineage, stats, caches) =
+        round(spark, roundNo, frontier, frontierSize, seen, filters, pendingSeen,
+          pages, robotsBc, cfg)
       if (stats.drained == 0) { continue = false; caches.foreach(_.unpersist()) }
       else {
         fetchedTotal += stats.fetched
@@ -412,8 +507,25 @@ object CrawlEngine {
         // the frontier when tombstones would dominate reads.
         val compact = rmSize > 0 &&
           ((roundNo + 1) % cfg.compactEveryRounds == 0 || rmSize >= frontierSize.max(1L))
-        val tables = Map("filters" -> nfl.toDF()) ++
+        // filter fold policy: rewrite the blobs only when pending keys have
+        // grown proportional to the seen set (amortized O(1) write per key);
+        // otherwise CARRY the previous filters dir untouched.
+        val newPending = pendingKeys + stats.newUrls
+        val doFold = newPending > 0 &&
+          newPending >= math.max(cfg.foldMinKeys, (cfg.foldFrac * seenTotal).toLong)
+        val folded: Option[Dataset[FilterState]] =
+          if (!doFold) None
+          else {
+            val pendingAll = pendingSeen
+              .map(df => df.as[SeenEntry].union(seenDelta)).getOrElse(seenDelta)
+            Some(timed("fold")(foldFilters(spark, filters, pendingAll,
+              seen.union(seenDelta), cfg.filterCapacityPerBucket)))
+          }
+        val tables = folded.map(f => Map("filters" -> f.toDF())).getOrElse(Map.empty) ++
           (if (collectOutputs) Map("outputs" -> outputs.drop("links").toDF()) else Map.empty)
+        val carry =
+          if (doFold) Map.empty[String, Seq[String]]
+          else Map("filters" -> SnapshotStore.dirsOf(manifest, "filters"))
         val frontierDeltas =
           if (compact) Map(
             "frontier_adds" -> (frontier.join(drainedKeys, Seq("url_hash"), "left_anti")
@@ -425,13 +537,21 @@ object CrawlEngine {
             "frontier_adds" -> (adds.toDF(), SnapshotStore.dirsOf(manifest, "frontier_adds")),
             "frontier_rm" -> (drainedKeys, SnapshotStore.dirsOf(manifest, "frontier_rm")))
         if (compact) rmSize = 0L
+        val foldedDirsAfter = if (doFold) seenDirs.length + 1 else foldedDirs
+        val pendingAfter = if (doFold) 0L else newPending
         manifest = timed("commit")(SnapshotStore.commit(stateDir, roundNo + 1, tables,
           Map("round" -> roundNo.toLong, "fetched" -> fetchedTotal,
             "extracted" -> extractedTotal, "seen" -> seenTotal,
-            "frontier_size" -> frontierSize, "frontier_rm_size" -> rmSize),
+            "frontier_size" -> frontierSize, "frontier_rm_size" -> rmSize,
+            "filters_folded_dirs" -> foldedDirsAfter.toLong,
+            "pending_keys" -> pendingAfter),
           deltas = frontierDeltas ++ Map(
             "seen" -> (seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")),
-            "lineage" -> (lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage")))))
+            "lineage" -> (lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage"))),
+          carry = carry))
+        foldedDirs = foldedDirsAfter
+        pendingKeys = pendingAfter
+        folded.foreach(_.unpersist())
         caches.foreach(_.unpersist())
         roundNo += 1
       }

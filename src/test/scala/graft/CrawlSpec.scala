@@ -88,35 +88,94 @@ class CrawlSpec extends AnyFunSuite {
     (seen.toSet, drains.result())
   }
 
-  test("spark crawl matches the simulator's URL-seen set and drain ordering") {
+  test("spark crawl matches the simulator's URL-seen set and drain ordering" +
+      " under every filter-fold config") {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
-    val stateDir = java.nio.file.Files.createTempDirectory("graft-crawlspec-").toString
-    val stats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
-      robots, cfg, stateDir)
-
     val (simSeen, simDrains) = simulate()
-
-    // final URL-seen set: compare via hashes (engine stores hashes)
-    val m = SnapshotStore.latestManifest(stateDir).get
-    val engineSeen = SnapshotStore.read(spark, m, "seen")
-      .select("url_hash").as[Long].collect().toSet
     val simSeenHashes = simSeen.map(UrlOps.fnv1a64)
-    assert(engineSeen == simSeenHashes,
-      s"seen mismatch: engine=${engineSeen.size} sim=${simSeenHashes.size}")
-
-    // per-round drain ordering: outputs snapshot per round records fetched urls
     val simFetchedPerRound = simDrains.map(_.filter(pageMap.contains))
-    for (r <- simFetchedPerRound.indices) {
-      val v = r + 1
-      val mr = SnapshotStore.readManifest(stateDir, v)
-      val fetched = SnapshotStore.read(spark, mr, "outputs")
-        .select("url").as[String].collect().toSet
-      assert(fetched == simFetchedPerRound(r).toSet,
-        s"round $r fetched mismatch")
+
+    // lazy-fold (default: pending path, filters never refold at this scale),
+    // fold-every-round (round-2 behavior), and fold+grow (tiny capacity
+    // forces rebuild-at-2x)
+    val configs = Seq(
+      "lazy" -> cfg,
+      "eager" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0),
+      "grow" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0, filterCapacityPerBucket = 16))
+    for ((label, fcfg) <- configs) {
+      val stateDir = java.nio.file.Files.createTempDirectory(s"graft-crawlspec-$label-").toString
+      val stats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+        robots, fcfg, stateDir)
+
+      // final URL-seen set: compare via hashes (engine stores hashes)
+      val m = SnapshotStore.latestManifest(stateDir).get
+      val engineSeen = SnapshotStore.read(spark, m, "seen")
+        .select("url_hash").as[Long].collect().toSet
+      assert(engineSeen == simSeenHashes,
+        s"[$label] seen mismatch: engine=${engineSeen.size} sim=${simSeenHashes.size}")
+
+      // per-round drain ordering: outputs snapshot per round records fetched urls
+      for (r <- simFetchedPerRound.indices) {
+        val v = r + 1
+        val mr = SnapshotStore.readManifest(stateDir, v)
+        val fetched = SnapshotStore.read(spark, mr, "outputs")
+          .select("url").as[String].collect().toSet
+        assert(fetched == simFetchedPerRound(r).toSet,
+          s"[$label] round $r fetched mismatch")
+      }
+      assert(stats.fetched == simFetchedPerRound.map(_.size).sum)
+      assert(stats.rounds == simDrains.size)
+
+      // filter-table health invariants per config
+      import graft.frontier.{CuckooFilter, FilterState}
+      val filters = SnapshotStore.read(spark, m, "filters").as[FilterState].collect()
+      val restored = filters.map(f => f.bucket -> CuckooFilter.fromBytes(f.cuckoo_bytes)).toMap
+      if (label != "lazy") {
+        // all folds applied each round: every seen key must be IN the filter
+        val seenRows = SnapshotStore.read(spark, m, "seen")
+          .as[graft.frontier.SeenEntry].collect()
+        assert(seenRows.forall(s => restored(s.bucket).contains(s.url_hash)),
+          s"[$label] folded filter lost a seen key")
+      }
+      restored.values.foreach { f =>
+        assert(f.size.toDouble / f.capacity <= CuckooFilter.LoadLimit + 1e-9,
+          s"[$label] filter over load limit")
+        assert(f.stashSize == 0,
+          s"[$label] stash must stay empty (rebuild-at-2x), got ${f.stashSize}")
+      }
+      if (label == "grow")
+        assert(restored.values.exists(_.capacity > 16 * 2),
+          "[grow] at least one bucket must have been rebuilt larger")
+      // write amplification: filters dirs exist only for fold commits (and a
+      // fold only happens when the round enqueued new keys)
+      val foldCommits = (1 to stats.rounds).count { v =>
+        new java.io.File(s"$stateDir/data/v$v/filters").isDirectory
+      }
+      if (label == "lazy")
+        assert(foldCommits == 0,
+          s"lazy config must never rewrite filters at this scale, got $foldCommits")
+      else {
+        assert(foldCommits >= 1)
+        assert(m.counters("pending_keys") == 0L, s"[$label] eager fold left pending keys")
+      }
     }
-    assert(stats.fetched == simFetchedPerRound.map(_.size).sum)
-    assert(stats.rounds == simDrains.size)
+  }
+
+  test("legacy (pre-delta-format) snapshots are rejected loudly, not resumed as empty") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-legacy-").toString
+    // fabricate a round-1-format manifest: full `frontier` table dir, no
+    // frontier_size counter
+    val df = Seq(("https://host0.example/page/0", 1L)).toDF("url", "url_hash")
+    df.write.parquet(s"$stateDir/data/v0/frontier")
+    SnapshotStore.writeManifest(stateDir, SnapshotStore.Manifest(0,
+      Map("frontier" -> s"$stateDir/data/v0/frontier"), Map("round" -> -1L)))
+    val pages = SyntheticWeb.pagesFast(spark, 8, nHosts, 2).toDF()
+    val e = intercept[IllegalStateException] {
+      CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
+    }
+    assert(e.getMessage.contains("incompatible legacy snapshot format"))
   }
 
   test("crawl is resumable from the latest snapshot with identical final state") {

@@ -45,4 +45,39 @@ class CuckooSpec extends AnyFunSuite {
     (0 until 100).foreach(_ => f.add(42L))
     assert(f.size == 1)
   }
+
+  test("growth: rebuild-at-2x keeps the stash empty and bytes/key bounded at 10x capacity") {
+    // the engine's fold policy in miniature: start tiny, insert 10x the
+    // initial capacity in batches, rebuild at 2x whenever the next batch
+    // would exceed the load limit (CrawlEngine.foldFilters pass 2)
+    val initial = 64L
+    var f = CuckooFilter.create(initial)
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batches = (0 until 40).map(b =>
+      (0L until 16L).map(i => (b * 16 + i) * 0x9e3779b97f4a7c15L + 0xabcdefL))
+    batches.foreach { batch =>
+      if (!f.hasRoomFor(batch.length)) {
+        f = CuckooFilter.rebuild(all.iterator,
+          math.max(2L * (f.size + batch.length), initial))
+        assert(all.forall(f.contains), "rebuild must preserve membership")
+      }
+      batch.foreach { k => f.add(k); all += k }
+    }
+    assert(all.size == 640 && all.size >= 10 * initial)
+    assert(all.forall(f.contains), "no false negatives after growth")
+    assert(f.stashSize == 0, s"stash must stay empty under the rebuild policy, got ${f.stashSize}")
+    assert(f.size.toDouble / f.capacity <= CuckooFilter.LoadLimit + 1e-9)
+    // instantaneous bytes/key right after a doubling rebuild can sit at
+    // ~2B/slot / ~0.25 load (2x target x pow2 rounding) — bounded by 9
+    assert(f.toBytes.length.toDouble / all.size <= 9.0,
+      s"filter degraded: ${f.toBytes.length.toDouble / all.size} bytes/key")
+    // steady-state figure (the 'bytes/key <= ~3' claim): top the filter up to
+    // its load limit — where the NEXT rebuild would trigger — and measure
+    var extra = 0L
+    var k = 0xf00dL
+    while (f.hasRoomFor(1)) { f.add(k * 0x9e3779b97f4a7c15L); k += 1; extra += 1 }
+    val atLimit = f.toBytes.length.toDouble / f.size
+    assert(f.stashSize == 0)
+    assert(atLimit <= 3.0, s"$atLimit bytes/key at the load limit (16-bit fp / 4 slots / 0.9 load = 2.2)")
+  }
 }
