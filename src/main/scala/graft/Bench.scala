@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import graft.tables.SyntheticWeb
-import graft.frontier.{CrawlConfig, CrawlEngine, RobotsRule}
+import graft.frontier.{CrawlConfig, CrawlEngine}
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
@@ -46,15 +46,24 @@ object Bench {
     try {
       import spark.implicits._
       val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt
+      // robots.txt rows live IN the pages table (the engine's default robots
+      // source) — rules are crawled data, not driver config
       val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, cpus * 2,
-        weight).toDF().cache()
+        weight).union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
       pages.count() // materialize input outside the timed section
       // seed the frontier with every page url (measures drain+extract, not
-      // graph discovery latency); host-major layout mirror of pagesFast
-
+      // graph discovery latency); host-major layout mirror of pagesFast.
+      // Seeds are a DATASET derived executor-side — nothing frontier-sized
+      // ever materializes on the driver or ships inside task closures.
       val cuts = SyntheticWeb.fastCuts(nPages.toLong, nHosts)
-      val seedUrls = (0 until nHosts).flatMap { host =>
-        (0L until (cuts(host + 1) - cuts(host))).map(k => SyntheticWeb.pageUrl(host, k))
+      val cutsBc = spark.sparkContext.broadcast(cuts)
+      val nh = nHosts
+      def seedDs(n: Int) = spark.range(0, n.toLong, 1, cpus * 2).map { i =>
+        val c = cutsBc.value
+        var host = java.util.Arrays.binarySearch(c, i)
+        if (host < 0) host = -host - 2
+        if (host >= nh) host = nh - 1
+        SyntheticWeb.pageUrl(host, i - c(host))
       }
       // politeness budget = the largest host's frontier share (host0's 30%):
       // small enough that the two-phase per-host top-k actually executes (it
@@ -64,13 +73,12 @@ object Bench {
       val hostMax = (1 until (nHosts + 1)).map(h => cuts(h) - cuts(h - 1)).max.toInt
       val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
         roundSize = nPages, maxRounds = 1, lineageDetail = false)
-      val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, Seq.empty, r._2, r._3))
       // JIT warmup: an untimed crawl through the same code path — 10k pages,
       // or the first timed trial still pays residual compilation (observed
       // ~7% on trial 1 with a 5k warmup)
       val warm = math.min(10000, nPages)
       val warmCfg = cfg.copy(roundSize = warm)
-      CrawlEngine.run(spark, pages, seedUrls.take(warm), robots, warmCfg,
+      CrawlEngine.run(spark, pages, seedDs(warm), warmCfg,
         graft.util.TempDirs.create("graft-warm-").toString,
         collectOutputs = false)
       var best = 0.0
@@ -81,10 +89,10 @@ object Bench {
         // bootstrap the v0 frontier snapshot OUTSIDE the timed section: the
         // metric is drain+extract of an EXISTING frontier table (production
         // resumes from a committed snapshot), not seed ingestion
-        CrawlEngine.run(spark, pages, seedUrls, robots, cfg.copy(maxRounds = 0),
+        CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
           stateDir, collectOutputs = false)
         val t0 = System.nanoTime()
-        val stats = CrawlEngine.run(spark, pages, seedUrls, robots, cfg, stateDir,
+        val stats = CrawlEngine.run(spark, pages, seedDs(nPages), cfg, stateDir,
           collectOutputs = false)
         val sec = (System.nanoTime() - t0) / 1e9
         if (nPages / sec > best) best = nPages / sec

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.detect.Detector
 import graft.tables.SyntheticWeb
-import graft.frontier.{CrawlConfig, CrawlEngine, RobotsRule}
+import graft.frontier.{CrawlConfig, CrawlEngine}
 
 /** The operator inventory surface (SURVEY.md §2): every implemented operator
   * exposed as a `(SparkSession, sfDir) => DataFrame` query, with a DuckDB
@@ -541,19 +541,21 @@ object Queries {
   }
 
   /** full frontier-drain crawl (3 rounds, synthetic web, snapshot commits to
-    * a temp dir) — returns per-round lineage counters.
+    * a temp dir) — returns per-round lineage counters. Robots rules enter the
+    * engine as fetched `/robots.txt` rows IN the pages table (C4 as crawled
+    * data); seeds enter as a Dataset.
     */
   private def c5CrawlRounds(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val nHosts = 4
     val pages = SyntheticWeb.pagesFast(s, nPages = 64, nHosts = nHosts, nPartitions = 8)
+      .union(SyntheticWeb.robotsPages(s, nHosts))
       .toDF().cache()
     val stateDir = graft.util.TempDirs.create("graft-crawl-").toString
     val cfg = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 4, roundSize = 32,
       maxRounds = 3)
-    val robots = SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, Seq.empty, r._2, r._3))
-    CrawlEngine.run(s, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir,
-      collectOutputs = false)
+    CrawlEngine.run(s, pages, s.createDataset(SyntheticWeb.seedUrls(nHosts)),
+      cfg, stateDir, collectOutputs = false)
     val m = graft.tables.SnapshotStore.latestManifest(stateDir).get
     graft.tables.SnapshotStore.read(s, m, "lineage")
       .filter(col("bucket") === -1)

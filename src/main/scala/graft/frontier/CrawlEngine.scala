@@ -43,6 +43,14 @@ final case class PageOutput(
 final case class RobotsRule(host: String, allow_prefixes: Seq[String],
     disallow_prefixes: Seq[String], crawl_delay_ms: Long)
 
+/** One row of the crawl-state `robots` table: the effective rule for a host,
+  * parsed from the host's fetched `/robots.txt` body (C4). A host with no
+  * robots.txt gets the allow-all row (scrapy's 404 semantics) — the row
+  * doubles as the negative cache, so a host is fetched exactly once.
+  */
+final case class RobotsEntry(host: String, allow: Seq[String],
+    disallow: Seq[String], crawl_delay_ms: Long)
+
 final case class CrawlConfig(
     numBuckets: Int = 32,
     hostBudgetPerRound: Int = 2, // scrapy CONCURRENT_REQUESTS=2 (settings.py:22)
@@ -72,7 +80,14 @@ final case class CrawlConfig(
     // REBUILT at 2x capacity from the exact seen table (geometric growth:
     // the stash stays empty at any seen-set size).
     foldMinKeys: Long = 4096,
-    foldFrac: Double = 0.2)
+    foldFrac: Double = 0.2,
+    // logical duration of one fetch-schedule round: a host with robots
+    // Crawl-delay D is re-drained no sooner than ceil(D / roundTimeMs)
+    // rounds after its last drain (C5 host_next_ok state; within a round,
+    // hostBudgetPerRound is the concurrency cap as before)
+    roundTimeMs: Long = 1000,
+    // agent token robots.txt group resolution matches against
+    userAgent: String = "graftbot")
 
 final case class CrawlStats(rounds: Int, fetched: Long, extractedRows: Long, seenSize: Long)
 final case class RoundStats(drained: Long, fetched: Long, extracted: Long, newUrls: Long)
@@ -118,12 +133,58 @@ object CrawlEngine {
       (((h % numBuckets) + numBuckets) % numBuckets).toInt, -depth, depth, round)
   }
 
-  def robotsAllowed(rules: Map[String, RobotsRule], url: String): Boolean = {
-    val p = UrlOps.parse(url)
-    rules.get(p.host.toLowerCase) match {
-      case None => true
-      case Some(r) => Robots.allowed(p.path, r.allow_prefixes, r.disallow_prefixes)
-    }
+  /** FrontierEntry columns, for realigning after by-name joins (a key-list
+    * join reorders columns while Dataset union is positional).
+    */
+  private def feCols = Seq("url", "url_hash", "host", "host_hash", "bucket",
+    "priority", "depth", "discovered_round").map(col)
+
+  /** Fetch + parse robots.txt for the given hosts FROM THE PAGES TABLE
+    * itself (C4 as crawled data — the reference fetches robots live per
+    * domain via scrapy's ROBOTSTXT_OBEY middleware, settings.py:19; here a
+    * fetch is a join against the pages source, like every other fetch).
+    * `hosts`: (host, scheme). Missing robots.txt → allow-all row. The left
+    * side is tiny and `robotsSrc` is pre-filtered to `*`/robots.txt` rows
+    * (pushed to the scan), so AQE broadcasts the fetched bodies.
+    */
+  def fetchRobots(spark: SparkSession, hosts: DataFrame,
+      robotsSrc: DataFrame, userAgent: String): Dataset[RobotsEntry] = {
+    import spark.implicits._
+    hosts
+      .select(concat($"scheme", lit("://"), $"host", lit("/robots.txt")).as("url"),
+        $"host")
+      .join(robotsSrc, Seq("url"), "left")
+      .select($"host", $"html")
+      .as[(String, Array[Byte])]
+      .map { case (host, html) =>
+        if (html == null) RobotsEntry(host, Seq.empty, Seq.empty, 0L)
+        else {
+          val r = Robots.rule(host,
+            new String(html, java.nio.charset.StandardCharsets.UTF_8), userAgent)
+          RobotsEntry(host, r.allow_prefixes, r.disallow_prefixes, r.crawl_delay_ms)
+        }
+      }
+  }
+
+  private val robotsAllowUdf = udf { (url: String, allow: Seq[String], dis: Seq[String]) =>
+    dis == null || Robots.allowed(UrlOps.parse(url).path,
+      if (allow == null) Seq.empty else allow, dis)
+  }
+
+  /** Gate candidate entries through the robots table (host join + RFC 9309
+    * longest-match). A host absent from `robots` is allowed — by
+    * construction the table covers every candidate host (fetched the round
+    * the host first appears).
+    */
+  def applyRobots(cands: Dataset[FrontierEntry],
+      robots: Dataset[RobotsEntry]): Dataset[FrontierEntry] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.toDF()
+      .join(robots.toDF().select($"host", $"allow", $"disallow"), Seq("host"), "left")
+      .filter(robotsAllowUdf(col("url"), col("allow"), col("disallow")))
+      .select(feCols: _*)
+      .as[FrontierEntry]
   }
 
   /** Drain order: priority desc, depth asc, url asc (deterministic). */
@@ -156,14 +217,33 @@ object CrawlEngine {
       .flatMapGroups((_: String, es: Iterator[FrontierEntry]) => bounded(es))
   }
 
-  /** One fetch-schedule round. Returns (frontier add-delta, drained keys,
-    * seen delta, outputs, lineage, stats, round caches).
+  /** Everything one round hands back to the commit path. */
+  final case class RoundResult(
+      adds: Dataset[FrontierEntry],
+      drainedKeys: DataFrame,
+      seenDelta: Dataset[SeenEntry],
+      robotsDelta: Dataset[RobotsEntry],
+      nNewHosts: Long,
+      delayDelta: Option[DataFrame], // (host, next_ok_round)
+      outputs: Dataset[PageOutput],
+      lineage: Dataset[LineageRow],
+      stats: RoundStats,
+      caches: Seq[Dataset[_]])
+
+  /** One fetch-schedule round.
     *
     * `pendingSeen`: url_hash rows already committed to the seen table but not
     * yet folded into the filter blobs (the filters are allowed to lag — see
     * CrawlConfig fold policy). A cuckoo MISS is only "definitely new" after
     * an exact anti-join against this (small, bounded) pending set; a cuckoo
     * HIT still anti-joins the full seen table as before.
+    *
+    * `delayBlockedHosts`: hosts whose host_next_ok_round exceeds this round
+    * (crawl-delay politeness) — excluded from the drain entirely.
+    *
+    * `robots`: the committed robots table; rules for hosts first seen this
+    * round are fetched from `robotsSrc` inside the round and returned as
+    * `robotsDelta`.
     */
   def round(
       spark: SparkSession,
@@ -173,12 +253,20 @@ object CrawlEngine {
       seen: Dataset[SeenEntry],
       filters: Dataset[FilterState],
       pendingSeen: Option[DataFrame],
+      robots: Dataset[RobotsEntry],
+      delayBlockedHosts: Option[DataFrame],
+      computeDelay: Boolean,
       pages: DataFrame, // url, html (+ any other cols)
-      robotsBc: org.apache.spark.broadcast.Broadcast[Map[String, RobotsRule]],
-      cfg: CrawlConfig): (Dataset[FrontierEntry], DataFrame, Dataset[SeenEntry],
-      Dataset[PageOutput], Dataset[LineageRow], RoundStats,
-      Seq[Dataset[_]]) = {
+      robotsSrc: DataFrame, // url, html — pre-filtered to */robots.txt
+      cfg: CrawlConfig): RoundResult = {
     import spark.implicits._
+
+    // --- crawl-delay gate (C5): hosts inside their politeness window are
+    // invisible to this round's drain ---
+    val frontierEligible = delayBlockedHosts match {
+      case None => frontier
+      case Some(b) => frontier.join(b, Seq("host"), "left_anti").as[FrontierEntry]
+    }
 
     // --- politeness (C5/W5) + global priority drain (C6) ---
     // Politeness is provably a no-op when budget >= roundSize: an entry with
@@ -187,13 +275,13 @@ object CrawlEngine {
     // top-roundSize — skip the operator entirely. Likewise the global top-k
     // needs no ordering work when the whole frontier fits the round.
     val wholeFrontier = frontierSize <= cfg.roundSize &&
-      cfg.hostBudgetPerRound >= frontierSize
+      cfg.hostBudgetPerRound >= frontierSize && delayBlockedHosts.isEmpty
     val drained: Dataset[FrontierEntry] =
-      if (wholeFrontier) frontier.persist()
+      if (wholeFrontier) frontierEligible.persist()
       else {
         val eligible =
-          if (cfg.hostBudgetPerRound >= cfg.roundSize) frontier
-          else topKPerHost(frontier, cfg.hostBudgetPerRound)
+          if (cfg.hostBudgetPerRound >= cfg.roundSize) frontierEligible
+          else topKPerHost(frontierEligible, cfg.hostBudgetPerRound)
         if (frontierSize <= cfg.roundSize)
           // |eligible| <= frontierSize <= roundSize: the global top-k is the
           // identity — everything politeness admitted drains this round
@@ -251,46 +339,66 @@ object CrawlEngine {
       .agg(count(lit(1)), coalesce(sum($"n_rows"), lit(0L)))
       .as[(Long, Long)].head())
 
-    // --- candidates (C2): explode links, canonicalize, allow + robots filters ---
+    // --- candidates (C2): explode links, canonicalize, allow-domains filter ---
     val allowedHosts = cfg.allowedHosts
-    val robots = robotsBc
     val nb = cfg.numBuckets
     val rawCands = outputs.flatMap(o => o.links.map(l => (l, o.depth + 1)))
       .map { case (u, d) => entry(u, d, roundNo + 1, nb) }
       .filter(e => allowedHosts.isEmpty || allowedHosts.contains(e.host))
-    val cands = rawCands.filter(e => robotsAllowed(robots.value, e.url))
 
     // --- in-round dedup (min depth wins, then url — deterministic) ---
     // Tungsten-native: min over a (depth, url, ...) struct under hash agg
     // with partial (map-side) combine — no object serde, no GC churn on the
-    // full candidate volume (struct ordering is lexicographic by field)
-    val dedupedCands = cands.toDF()
+    // full candidate volume (struct ordering is lexicographic by field).
+    // Dedup runs BEFORE the robots gate so the robots host-join (and the
+    // per-round new-host discovery) see the much smaller unique-url set.
+    val dedupedCands = rawCands.toDF()
       .groupBy($"url_hash")
       .agg(min(struct($"depth", $"url", $"host", $"host_hash", $"bucket",
         $"priority", $"discovered_round")).as("e"))
       .select($"e.url", $"url_hash", $"e.host", $"e.host_hash", $"e.bucket",
         $"e.priority", $"e.depth", $"e.discovered_round")
       .as[FrontierEntry]
+      .persist()
 
-    // detailed counters (3 extra jobs) only when lineageDetail is on
-    val (nRawCands, robotsBlocked, dedupedInRound) =
+    // --- robots (C4): fetch rules for hosts FIRST SEEN this round from the
+    // pages source, then gate candidates via the (broadcastable) host join ---
+    val candHosts = dedupedCands.groupBy($"host")
+      .agg(min(substring_index($"url", "://", 1)).as("scheme"))
+    val newHosts = candHosts.join(robots.select($"host"), Seq("host"), "left_anti")
+    val nNewHosts = timed("robots-hosts")(newHosts.count())
+    val robotsDelta: Dataset[RobotsEntry] =
+      if (nNewHosts == 0) spark.emptyDataset[RobotsEntry]
+      else fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
+    val robotsAll = if (nNewHosts == 0) robots else robots.union(robotsDelta)
+    val allowedCands = applyRobots(dedupedCands, robotsAll)
+
+    // detailed counters (2 extra jobs) only when lineageDetail is on
+    val (nRawCands, dedupedInRound, robotsBlocked) =
       if (cfg.lineageDetail) {
         val raw = rawCands.count()
-        val allowed = cands.count()
         val deduped = dedupedCands.count()
-        (raw, raw - allowed, allowed - deduped)
+        val allowed = allowedCands.count()
+        (raw, raw - deduped, deduped - allowed)
       } else (-1L, -1L, -1L)
 
+    // --- crawl-delay bookkeeping: hosts drained this round whose robots
+    // Crawl-delay exceeds one round close their politeness window ---
+    val delayDelta: Option[DataFrame] =
+      if (!computeDelay) None
+      else Some(drained.select($"host").distinct()
+        .join(robotsAll.filter($"crawl_delay_ms" > cfg.roundTimeMs).toDF()
+          .select($"host", $"crawl_delay_ms"), Seq("host"))
+        .select($"host", (lit(roundNo.toLong) +
+          ceil($"crawl_delay_ms".cast("double") / lit(cfg.roundTimeMs.toDouble))
+            .cast("long")).as("next_ok_round")))
+
     // --- seen-set probe (C3): co-partitioned cuckoo cogroup per bucket ---
-    val probed = dedupedCands.groupByKey(_.bucket)
+    val probed = allowedCands.groupByKey(_.bucket)
       .cogroup(filters.groupByKey(_.bucket)) { (b, cs, fs) =>
         val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
         cs.map(c => (c, filt.exists(_.contains(c.url_hash))))
       }.persist()
-    // NB: a key-list join reorders columns (join key first) while Dataset
-    // union is positional — realign by name before unioning.
-    val feCols = Seq("url", "url_hash", "host", "host_hash", "bucket",
-      "priority", "depth", "discovered_round").map(col)
     // cuckoo MISS: new unless in the not-yet-folded pending seen deltas
     // (exact, small); the filter has no false negatives for FOLDED keys
     val cuckooNeg = probed.filter(!_._2).map(_._1)
@@ -339,8 +447,10 @@ object CrawlEngine {
       }
 
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
-    (newEntries, drainedKeys, seenDelta, outputs, lineage, stats,
-      Seq(drained, outputs, probed, newEntries))
+    RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
+      delayDelta, outputs, lineage, stats,
+      Seq(drained, outputs, dedupedCands, probed, newEntries) ++
+        (if (nNewHosts > 0) Seq(robotsDelta) else Seq.empty))
   }
 
   /** Fold pending seen keys into the per-bucket cuckoo filters, growing any
@@ -407,10 +517,11 @@ object CrawlEngine {
       .as[FrontierEntry]
   }
 
-  /** Run the full crawl with per-round snapshot commits; resumable from the
-    * latest committed snapshot in `stateDir` (C8).
+  /** Legacy bridge: pre-materialized robots rules become synthetic
+    * `/robots.txt` page rows (Robots.serialize round-trips exactly), so the
+    * one engine path — robots fetched from a pages source — serves both.
     */
-  def run(
+  def runWithRules(
       spark: SparkSession,
       pages: DataFrame,
       seeds: Seq[String],
@@ -419,32 +530,79 @@ object CrawlEngine {
       stateDir: String,
       collectOutputs: Boolean = true): CrawlStats = {
     import spark.implicits._
+    val rp = robotsRules.map(r => (s"https://${r.host}/robots.txt",
+      Robots.serialize(r).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("url", "html")
+    run(spark, pages, spark.createDataset(seeds), cfg, stateDir, collectOutputs,
+      robotsPages = Some(rp))
+  }
 
-    val robotsBc = spark.sparkContext.broadcast(
-      robotsRules.map(r => r.host.toLowerCase -> r).toMap)
+  /** Run the full crawl with per-round snapshot commits; resumable from the
+    * latest committed snapshot in `stateDir` (C8).
+    *
+    * `seeds` is a Dataset: seed ingestion is distributed end-to-end — entries
+    * are derived in a map and deduped by a hash-agg, so a 10^10-url seed list
+    * never materializes on the driver (round-2 VERDICT "What's wrong" #2).
+    *
+    * Robots rules are CRAWLED DATA: each host's `/robots.txt` row is fetched
+    * from `robotsPages` (default: the pages table itself) the round the host
+    * first appears, parsed (Robots.rule), and persisted in the snapshot's
+    * `robots` table — never a driver-side map (round-2 VERDICT #3). Seeds are
+    * robots-gated exactly like candidates.
+    */
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      seeds: Dataset[String],
+      cfg: CrawlConfig,
+      stateDir: String,
+      collectOutputs: Boolean = true,
+      robotsPages: Option[DataFrame] = None): CrawlStats = {
+    import spark.implicits._
+
+    // robots source: only `*/robots.txt` rows can match the fetch join — the
+    // filter pushes to the scan, so a robots fetch never reads page html
+    val robotsSrc = robotsPages.getOrElse(pages)
+      .select(col("url"), col("html"))
+      .filter(col("url").endsWith("/robots.txt"))
 
     // resume from the latest committed snapshot, or bootstrap a v0 snapshot
     // from the seeds (so every later commit is uniform: append-only delta for
-    // frontier/seen/lineage; filters rewritten only on fold rounds)
+    // frontier/seen/lineage/robots; filters rewritten only on fold rounds)
     val existing = SnapshotStore.latestManifest(stateDir)
     // format guard (round-2 ADVICE): a pre-delta-format snapshot (a full
     // `frontier` table / no frontier_size counter) would otherwise resume as
     // an empty frontier and "succeed" with zero rounds
     existing.foreach { m =>
-      if (m.dataDirs.contains("frontier") || !m.counters.contains("frontier_size"))
+      if (m.dataDirs.contains("frontier") || !m.counters.contains("frontier_size") ||
+          !m.dataDirs.contains("robots"))
         throw new IllegalStateException(
           s"incompatible legacy snapshot format in $stateDir (expected the " +
-            "delta format: frontier_adds/frontier_rm tables + frontier_size " +
-            "counter); re-bootstrap into a fresh state dir")
+            "delta format: frontier_adds/frontier_rm/robots tables + " +
+            "frontier_size counter); re-bootstrap into a fresh state dir")
     }
     var manifest: SnapshotStore.Manifest = existing
       .getOrElse {
         // P14: test-mode seed skip (web_spider.py:68-69)
+        val nb = cfg.numBuckets
         val effSeeds =
-          if (cfg.isTest) seeds.filterNot(_.contains("example")) else seeds
-        val seedEntries = effSeeds.map(u => entry(u, 0, 0, cfg.numBuckets))
-          .groupBy(_.url_hash).values.map(_.head).toSeq
-        val seedFrontier = seedEntries.toDS()
+          if (cfg.isTest) seeds.filter(u => !u.contains("example")) else seeds
+        // distributed dedup: same min-(depth,url) hash-agg as in-round dedup
+        val seedDeduped = effSeeds.map(u => entry(u, 0, 0, nb)).toDF()
+          .groupBy($"url_hash")
+          .agg(min(struct($"depth", $"url", $"host", $"host_hash", $"bucket",
+            $"priority", $"discovered_round")).as("e"))
+          .select($"e.url", $"url_hash", $"e.host", $"e.host_hash", $"e.bucket",
+            $"e.priority", $"e.depth", $"e.discovered_round")
+          .as[FrontierEntry]
+          .persist()
+        // robots for the seed hosts, fetched from the pages source; seeds are
+        // gated like any candidate (scrapy filters start_urls at fetch time)
+        val seedHosts = seedDeduped.groupBy($"host")
+          .agg(min(substring_index($"url", "://", 1)).as("scheme"))
+        val robots0 = fetchRobots(spark, seedHosts, robotsSrc, cfg.userAgent).persist()
+        val seedFrontier = applyRobots(seedDeduped, robots0).persist()
+        val nSeeds = seedFrontier.count()
         val seedSeen = seedFrontier.map(e => SeenEntry(e.bucket, e.url_hash))
         val cap = cfg.filterCapacityPerBucket
         // size each bucket's filter for its actual seed volume (2x headroom),
@@ -456,19 +614,23 @@ object CrawlEngine {
             math.max(cap, 2L * keys.length))
           FilterState(b, f.toBytes, f.size)
         }
-        SnapshotStore.commit(stateDir, 0,
+        val m = SnapshotStore.commit(stateDir, 0,
           Map("filters" -> filters0.toDF()),
           Map("round" -> -1L, "fetched" -> 0L, "extracted" -> 0L,
-            "seen" -> seedEntries.length.toLong,
-            "frontier_size" -> seedEntries.length.toLong,
+            "seen" -> nSeeds,
+            "frontier_size" -> nSeeds,
             "frontier_rm_size" -> 0L,
-            "filters_folded_dirs" -> 1L, "pending_keys" -> 0L),
+            "filters_folded_dirs" -> 1L, "pending_keys" -> 0L,
+            "delay_rows" -> 0L),
           deltas = Map(
             "frontier_adds" -> (seedFrontier.toDF(), Seq.empty),
             "frontier_rm" -> (spark.emptyDataset[SeenEntry].toDF()
               .select($"url_hash"), Seq.empty),
             "seen" -> (seedSeen.toDF(), Seq.empty),
+            "robots" -> (robots0.toDF(), Seq.empty),
             "lineage" -> (spark.emptyDataset[LineageRow].toDF(), Seq.empty)))
+        seedDeduped.unpersist(); seedFrontier.unpersist(); robots0.unpersist()
+        m
       }
     var roundNo = manifest.counters("round").toInt + 1
     var fetchedTotal = manifest.counters.getOrElse("fetched", 0L)
@@ -482,6 +644,12 @@ object CrawlEngine {
     var foldedDirs = manifest.counters.getOrElse("filters_folded_dirs",
       SnapshotStore.dirsOf(manifest, "seen").length.toLong).toInt
     var pendingKeys = manifest.counters.getOrElse("pending_keys", 0L)
+    var delayRows = manifest.counters.getOrElse("delay_rows", 0L)
+    // crawl-delay fast path: one tiny agg per run (re-checked only when new
+    // robots rows land) decides whether any host can EVER be delay-blocked —
+    // a corpus whose delays all fit inside one round pays zero per-round cost
+    var maxDelay = SnapshotStore.read(spark, manifest, "robots")
+      .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head()
 
     var continue = true
     while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
@@ -489,22 +657,36 @@ object CrawlEngine {
       val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
       val seen = SnapshotStore.read(spark, manifest, "seen").as[SeenEntry]
       val filters = SnapshotStore.read(spark, manifest, "filters").as[FilterState]
+      val robots = SnapshotStore.read(spark, manifest, "robots").as[RobotsEntry]
       val pendingDirs = seenDirs.drop(foldedDirs)
       val pendingSeen =
         if (pendingDirs.isEmpty) None else Some(spark.read.parquet(pendingDirs: _*))
-      val (adds, drainedKeys, seenDelta, outputs, lineage, stats, caches) =
-        round(spark, roundNo, frontier, frontierSize, seen, filters, pendingSeen,
-          pages, robotsBc, cfg)
-      if (stats.drained == 0) { continue = false; caches.foreach(_.unpersist()) }
+      val delayActive = maxDelay > cfg.roundTimeMs
+      val blockedHosts: Option[DataFrame] =
+        if (delayActive && delayRows > 0 && manifest.dataDirs.contains("host_next_ok"))
+          Some(SnapshotStore.read(spark, manifest, "host_next_ok")
+            .filter($"next_ok_round" > roundNo).select($"host"))
+        else None
+      val r = round(spark, roundNo, frontier, frontierSize, seen, filters,
+        pendingSeen, robots, blockedHosts, delayActive, pages, robotsSrc, cfg)
+      val stats = r.stats
+      if (stats.drained == 0) {
+        r.caches.foreach(_.unpersist())
+        // idle round: everything left is inside a crawl-delay window — let
+        // the logical clock tick (no commit; deterministic on resume) rather
+        // than declaring the crawl done with a non-empty frontier
+        if (blockedHosts.isDefined && frontierSize > 0) roundNo += 1
+        else continue = false
+      }
       else {
         fetchedTotal += stats.fetched
         extractedTotal += stats.extracted
         seenTotal += stats.newUrls
         frontierSize = frontierSize - stats.drained + stats.newUrls
         rmSize += stats.drained
-        // snapshot commit (atomic manifest rename); frontier/seen/lineage are
-        // append-only deltas — a round writes O(drained + new) rows. Compact
-        // the frontier when tombstones would dominate reads.
+        // snapshot commit (atomic manifest rename); frontier/seen/lineage/
+        // robots are append-only deltas — a round writes O(drained + new)
+        // rows. Compact the frontier when tombstones would dominate reads.
         val compact = rmSize > 0 &&
           ((roundNo + 1) % cfg.compactEveryRounds == 0 || rmSize >= frontierSize.max(1L))
         // filter fold policy: rewrite the blobs only when pending keys have
@@ -517,42 +699,74 @@ object CrawlEngine {
           if (!doFold) None
           else {
             val pendingAll = pendingSeen
-              .map(df => df.as[SeenEntry].union(seenDelta)).getOrElse(seenDelta)
+              .map(df => df.as[SeenEntry].union(r.seenDelta)).getOrElse(r.seenDelta)
             Some(timed("fold")(foldFilters(spark, filters, pendingAll,
-              seen.union(seenDelta), cfg.filterCapacityPerBucket)))
+              seen.union(r.seenDelta), cfg.filterCapacityPerBucket)))
           }
+        // crawl-delay state: merge this round's closed windows into the
+        // (small: only hosts with multi-round delays) host_next_ok table,
+        // pruning expired rows at write
+        val delayTable: Option[(DataFrame, Long)] = r.delayDelta.map { dd =>
+          val oldT =
+            if (manifest.dataDirs.contains("host_next_ok"))
+              SnapshotStore.read(spark, manifest, "host_next_ok")
+            else dd.limit(0)
+          val merged = oldT.union(dd)
+            .groupBy($"host").agg(max($"next_ok_round").as("next_ok_round"))
+            .filter($"next_ok_round" > roundNo)
+            .persist()
+          (merged, merged.count())
+        }
         val tables = folded.map(f => Map("filters" -> f.toDF())).getOrElse(Map.empty) ++
-          (if (collectOutputs) Map("outputs" -> outputs.drop("links").toDF()) else Map.empty)
+          delayTable.map(t => Map("host_next_ok" -> t._1)).getOrElse(Map.empty) ++
+          (if (collectOutputs) Map("outputs" -> r.outputs.drop("links").toDF()) else Map.empty)
         val carry =
-          if (doFold) Map.empty[String, Seq[String]]
-          else Map("filters" -> SnapshotStore.dirsOf(manifest, "filters"))
+          (if (doFold) Map.empty[String, Seq[String]]
+           else Map("filters" -> SnapshotStore.dirsOf(manifest, "filters"))) ++
+          (if (delayTable.isEmpty && manifest.dataDirs.contains("host_next_ok"))
+             Map("host_next_ok" -> SnapshotStore.dirsOf(manifest, "host_next_ok"))
+           else Map.empty) ++
+          (if (r.nNewHosts == 0)
+             Map("robots" -> SnapshotStore.dirsOf(manifest, "robots"))
+           else Map.empty)
+        val robotsDeltas =
+          if (r.nNewHosts == 0) Map.empty[String, (DataFrame, Seq[String])]
+          else Map("robots" -> (r.robotsDelta.toDF(),
+            SnapshotStore.dirsOf(manifest, "robots")))
         val frontierDeltas =
           if (compact) Map(
-            "frontier_adds" -> (frontier.join(drainedKeys, Seq("url_hash"), "left_anti")
+            "frontier_adds" -> (frontier.join(r.drainedKeys, Seq("url_hash"), "left_anti")
               .select($"url", $"url_hash", $"host", $"host_hash", $"bucket",
                 $"priority", $"depth", $"discovered_round")
-              .union(adds.toDF()), Seq.empty[String]),
-            "frontier_rm" -> (drainedKeys.limit(0), Seq.empty[String]))
+              .union(r.adds.toDF()), Seq.empty[String]),
+            "frontier_rm" -> (r.drainedKeys.limit(0), Seq.empty[String]))
           else Map(
-            "frontier_adds" -> (adds.toDF(), SnapshotStore.dirsOf(manifest, "frontier_adds")),
-            "frontier_rm" -> (drainedKeys, SnapshotStore.dirsOf(manifest, "frontier_rm")))
+            "frontier_adds" -> (r.adds.toDF(), SnapshotStore.dirsOf(manifest, "frontier_adds")),
+            "frontier_rm" -> (r.drainedKeys, SnapshotStore.dirsOf(manifest, "frontier_rm")))
         if (compact) rmSize = 0L
         val foldedDirsAfter = if (doFold) seenDirs.length + 1 else foldedDirs
         val pendingAfter = if (doFold) 0L else newPending
+        val delayRowsAfter = delayTable.map(_._2).getOrElse(delayRows)
         manifest = timed("commit")(SnapshotStore.commit(stateDir, roundNo + 1, tables,
           Map("round" -> roundNo.toLong, "fetched" -> fetchedTotal,
             "extracted" -> extractedTotal, "seen" -> seenTotal,
             "frontier_size" -> frontierSize, "frontier_rm_size" -> rmSize,
             "filters_folded_dirs" -> foldedDirsAfter.toLong,
-            "pending_keys" -> pendingAfter),
-          deltas = frontierDeltas ++ Map(
-            "seen" -> (seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")),
-            "lineage" -> (lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage"))),
+            "pending_keys" -> pendingAfter,
+            "delay_rows" -> delayRowsAfter),
+          deltas = frontierDeltas ++ robotsDeltas ++ Map(
+            "seen" -> (r.seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")),
+            "lineage" -> (r.lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage"))),
           carry = carry))
         foldedDirs = foldedDirsAfter
         pendingKeys = pendingAfter
+        delayRows = delayRowsAfter
+        if (r.nNewHosts > 0)
+          maxDelay = math.max(maxDelay, r.robotsDelta
+            .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head())
         folded.foreach(_.unpersist())
-        caches.foreach(_.unpersist())
+        delayTable.foreach(_._1.unpersist())
+        r.caches.foreach(_.unpersist())
         roundNo += 1
       }
     }

@@ -183,27 +183,35 @@ object ExpectedDetect {
   // --------------------------------------------------- c5: crawl simulator
 
   /** Independent single-threaded crawl simulator over the closed-form link
-    * graph (no HTML parsing): BFS rounds with per-host politeness budget,
-    * global priority drain, robots prefix filter, in-round min-depth dedup,
+    * graph (no HTML parsing): BFS rounds with crawl-delay windows, per-host
+    * politeness budget, global priority drain, in-round min-depth dedup,
+    * robots RFC-9309 allow/disallow gate (after dedup — the engine's order),
     * enqueue-time seen-set dedup — the engine's documented policy (SURVEY.md
-    * §2.9). Emits the global (bucket = -1) lineage counters per round, which
-    * is exactly what the c5 query returns.
+    * §2.9). Seeds are robots-gated like candidates. Emits the global
+    * (bucket = -1) lineage counters per round, which is exactly what the c5
+    * query returns.
     */
   def c5(spark: SparkSession, nPages: Long, nHosts: Int,
-      hostBudget: Int, roundSize: Int, maxRounds: Int): DataFrame = {
+      hostBudget: Int, roundSize: Int, maxRounds: Int,
+      roundTimeMs: Long = 1000L): DataFrame = {
     import spark.implicits._
-    val cuts = fastCuts(nPages, nHosts)
     val pageOf: Map[String, (Int, Long, Long)] =
       fastPages(nPages, nHosts).map { case (h, k, n) => pageUrl(h, k) -> ((h, k, n)) }.toMap
-    val rules: Map[String, Seq[String]] =
-      robotsRules(nHosts).map(r => r._1 -> r._2).toMap
+    val rules: Map[String, (Seq[String], Seq[String], Long)] =
+      robotsRules(nHosts).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def allowed(u: String): Boolean = rules.get(UrlOps.hostOf(u)) match {
+      case None => true
+      case Some((alw, dis, _)) =>
+        graft.frontier.Robots.allowed(UrlOps.parse(u).path, alw, dis)
+    }
 
     // frontier entries: (depth, canon url); drain order = (depth asc, url asc)
     var frontier = Set.empty[(Int, String)]
     var seen = Set.empty[String]
-    seedUrls(nHosts).map(UrlOps.canonicalize).distinct.foreach { u =>
+    seedUrls(nHosts).map(UrlOps.canonicalize).distinct.filter(allowed).foreach { u =>
       frontier += ((0, u)); seen += u
     }
+    val nextOk = scala.collection.mutable.Map.empty[String, Int]
 
     val rows = Vector.newBuilder[(Int, Int, Long, Long, Long, Long, Long, Long, Long, Long)]
     var round = 0
@@ -213,38 +221,49 @@ object ExpectedDetect {
       val perHost = scala.collection.mutable.Map.empty[String, Int]
       val eligible = ordered.filter { case (_, u) =>
         val h = UrlOps.hostOf(u)
-        val c = perHost.getOrElse(h, 0)
-        if (c < hostBudget) { perHost(h) = c + 1; true } else false
+        if (nextOk.getOrElse(h, 0) > round) false
+        else {
+          val c = perHost.getOrElse(h, 0)
+          if (c < hostBudget) { perHost(h) = c + 1; true } else false
+        }
       }
       val drained = eligible.take(roundSize)
-      if (drained.isEmpty) { continue = false }
+      if (drained.isEmpty) {
+        // idle round: all remaining hosts inside a crawl-delay window
+        if (frontier.nonEmpty && nextOk.valuesIterator.exists(_ > round)) round += 1
+        else continue = false
+      }
       else {
         val deferred = frontier.size.toLong - drained.size
         frontier --= drained
         var fetched = 0L
         var extracted = 0L
         var candidates = 0L
-        var allowed = Vector.empty[(Int, String)]
+        var cands = Vector.empty[(Int, String)]
         drained.foreach { case (depth, u) =>
           pageOf.get(u).foreach { case (h, k, n) =>
             fetched += 1
             extracted += itemCount(h, k)
             val ls = links(h, k, n, nHosts).map(UrlOps.canonicalize).distinct
             candidates += ls.size
-            ls.foreach { c =>
-              val host = UrlOps.hostOf(c)
-              val path = UrlOps.parse(c).path
-              if (!rules.getOrElse(host, Seq.empty).exists(path.startsWith))
-                allowed = allowed :+ ((depth + 1, c))
-            }
+            ls.foreach(c => cands = cands :+ ((depth + 1, c)))
           }
         }
-        // in-round dedup: min (depth, url) per canon url
-        val deduped = allowed.groupBy(_._2).valuesIterator.map(_.min).toVector
-        val fresh = deduped.filterNot { case (_, c) => seen.contains(c) }
+        // in-round dedup first (min (depth, url) per canon url), then robots
+        val deduped = cands.groupBy(_._2).valuesIterator.map(_.min).toVector
+        val admitted = deduped.filter { case (_, c) => allowed(c) }
+        val fresh = admitted.filterNot { case (_, c) => seen.contains(c) }
         fresh.foreach { case (d, c) => seen += c; frontier += ((d, c)) }
+        // crawl-delay: drained hosts with delay spanning >1 round close
+        drained.iterator.map(e => UrlOps.hostOf(e._2)).distinct.foreach { h =>
+          rules.get(h).foreach { case (_, _, delay) =>
+            if (delay > roundTimeMs)
+              nextOk(h) = round + math.ceil(delay.toDouble / roundTimeMs).toInt
+          }
+        }
         rows += ((round, -1, drained.size.toLong, fetched, extracted, candidates,
-          candidates - allowed.size, (allowed.size - deduped.size).toLong,
+          (deduped.size - admitted.size).toLong,
+          (candidates - deduped.size).toLong,
           fresh.size.toLong, deferred))
         round += 1
       }

@@ -292,13 +292,38 @@ object SyntheticWeb {
     s.replace("&", "&amp;").replace("\"", "&quot;").replace("<", "&lt;")
 
   /** robots rules per host (FIXTURES.md §4): /private disallowed everywhere,
-    * host1 additionally disallows /tag.
+    * host1 additionally disallows /tag, host2 Allow-excepts /private/area0
+    * (exercising RFC 9309 longest-match precedence end-to-end: page 0 of
+    * host2 links /private/area0, which is enqueued but never fetched).
+    * Tuple: (host, allow, disallow, crawl_delay_ms).
     */
-  def robotsRules(nHosts: Int): Seq[(String, Seq[String], Long)] =
+  def robotsRules(nHosts: Int): Seq[(String, Seq[String], Seq[String], Long)] =
     (0 until nHosts).map { h =>
-      val prefixes = if (h == 1) Seq("/private", "/tag") else Seq("/private")
-      (hostName(h), prefixes, 100L + (h % 3) * 50L)
+      val disallow = if (h == 1) Seq("/private", "/tag") else Seq("/private")
+      val allow = if (h == 2) Seq("/private/area0") else Seq.empty
+      (hostName(h), allow, disallow, 100L + (h % 3) * 50L)
     }
+
+  /** The robots.txt BODY each host serves (what the engine actually parses —
+    * rules enter the crawl as fetched `/robots.txt` page rows, C4).
+    */
+  def robotsTxtBody(host: Int, nHosts: Int): String = {
+    val r = robotsRules(nHosts)(host)
+    graft.frontier.Robots.serialize(
+      graft.frontier.RobotsRule(r._1, r._2, r._3, r._4))
+  }
+
+  /** `/robots.txt` rows as Page entries, for unioning into a pages table
+    * (the engine's default robots source is the pages table itself).
+    */
+  def robotsPages(spark: SparkSession, nHosts: Int): Dataset[Page] = {
+    import spark.implicits._
+    val n = nHosts
+    spark.range(0, n, 1, math.min(n, 4)).map { h =>
+      Page(s"https://${hostName(h.toInt)}/robots.txt", FixedTs,
+        robotsTxtBody(h.toInt, n).getBytes("UTF-8"), "", "en")
+    }
+  }
 
   /** seed urls: page 0 of a few hosts. */
   def seedUrls(nHosts: Int): Seq[String] =

@@ -33,57 +33,85 @@ class CrawlSpec extends AnyFunSuite {
       .collect().map(p => p.url -> p.html).toMap
   }
   val robots: Seq[RobotsRule] =
-    SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, Seq.empty, r._2, r._3))
+    SyntheticWeb.robotsRules(nHosts).map(r => RobotsRule(r._1, r._2, r._3, r._4))
   val cfg: CrawlConfig = CrawlConfig(numBuckets = 8, hostBudgetPerRound = 3,
     roundSize = 16, maxRounds = 12)
 
-  /** Reference simulator: same policy, plain collections. */
-  def simulate(): (Set[String], Vector[Vector[String]]) = {
-    val rules = robots.map(r => r.host -> r.disallow_prefixes).toMap
+  def ruleAllows(rules: Map[String, RobotsRule], u: String): Boolean =
+    rules.get(UrlOps.hostOf(u)) match {
+      case None => true
+      case Some(r) =>
+        graft.frontier.Robots.allowed(UrlOps.parse(u).path,
+          r.allow_prefixes, r.disallow_prefixes)
+    }
+
+  /** Reference simulator: same policy, plain collections. Returns the seen
+    * set plus the per-NONEMPTY-round drains as (roundNo, urls) — idle rounds
+    * (all hosts inside a crawl-delay window) tick the clock silently, exactly
+    * like the engine.
+    */
+  def simulate(rulesSeq: Seq[RobotsRule] = robots,
+      roundTimeMs: Long = 1000L): (Set[String], Vector[(Int, Vector[String])]) = {
+    val rules = rulesSeq.map(r => r.host -> r).toMap
     val frontier = mutable.SortedSet.empty[(Int, String)] // (depth, url)
     val seen = mutable.Set.empty[String]
-    SyntheticWeb.seedUrls(nHosts).map(UrlOps.canonicalize).distinct.foreach { u =>
-      frontier += ((0, u)); seen += u
-    }
-    val drains = Vector.newBuilder[Vector[String]]
+    val nextOk = mutable.Map.empty[String, Int]
+    SyntheticWeb.seedUrls(nHosts).map(UrlOps.canonicalize).distinct
+      .filter(ruleAllows(rules, _)).foreach { u =>
+        frontier += ((0, u)); seen += u
+      }
+    val drains = Vector.newBuilder[(Int, Vector[String])]
     var rounds = 0
-    while (frontier.nonEmpty && rounds < cfg.maxRounds) {
-      // politeness: per-host top budget by (depth asc, url asc); then global
-      // top roundSize by same ordering (priority = -depth)
+    var continue = true
+    while (continue && frontier.nonEmpty && rounds < cfg.maxRounds) {
+      // crawl-delay gate, then politeness: per-host top budget by
+      // (depth asc, url asc); then global top roundSize by same ordering
       val perHost = mutable.Map.empty[String, Int]
       val eligible = frontier.toVector.filter { case (_, u) =>
         val h = UrlOps.hostOf(u)
-        val c = perHost.getOrElse(h, 0)
-        if (c < cfg.hostBudgetPerRound) { perHost(h) = c + 1; true } else false
+        if (nextOk.getOrElse(h, 0) > rounds) false
+        else {
+          val c = perHost.getOrElse(h, 0)
+          if (c < cfg.hostBudgetPerRound) { perHost(h) = c + 1; true } else false
+        }
       }
       val drained = eligible.sortBy(identity).take(cfg.roundSize)
-      drains += drained.map(_._2)
-      frontier --= drained
-      // fetch + extract links
-      val cands = mutable.Map.empty[String, (Int, String)] // canon -> (depth, url)
-      drained.foreach { case (depth, u) =>
-        pageMap.get(u).foreach { html =>
-          val doc = HtmlParser.parseBytes(html)
-          Detector.extractLinks(u, doc).foreach { l =>
-            val c = UrlOps.canonicalize(l)
-            val host = UrlOps.hostOf(c)
-            val path = UrlOps.parse(c).path
-            val allowed = !rules.getOrElse(host, Seq.empty).exists(path.startsWith)
-            if (allowed) {
-              val e = (depth + 1, c)
-              cands.get(c) match {
-                case Some(old) if old._1 < e._1 ||
-                  (old._1 == e._1 && old._2 <= e._2) => // keep old
-                case _ => cands(c) = e
+      if (drained.isEmpty) {
+        if (nextOk.valuesIterator.exists(_ > rounds)) rounds += 1
+        else continue = false
+      } else {
+        drains += ((rounds, drained.map(_._2)))
+        frontier --= drained
+        // fetch + extract links
+        val cands = mutable.Map.empty[String, (Int, String)] // canon -> (depth, url)
+        drained.foreach { case (depth, u) =>
+          pageMap.get(u).foreach { html =>
+            val doc = HtmlParser.parseBytes(html)
+            Detector.extractLinks(u, doc).foreach { l =>
+              val c = UrlOps.canonicalize(l)
+              if (ruleAllows(rules, c)) {
+                val e = (depth + 1, c)
+                cands.get(c) match {
+                  case Some(old) if old._1 < e._1 ||
+                    (old._1 == e._1 && old._2 <= e._2) => // keep old
+                  case _ => cands(c) = e
+                }
               }
             }
           }
         }
+        cands.values.foreach { case (d, c) =>
+          if (!seen.contains(c)) { seen += c; frontier += ((d, c)) }
+        }
+        drained.iterator.map(e => UrlOps.hostOf(e._2)).toSet.foreach { h: String =>
+          rules.get(h).foreach { r =>
+            if (r.crawl_delay_ms > roundTimeMs)
+              nextOk(h) = rounds +
+                math.ceil(r.crawl_delay_ms.toDouble / roundTimeMs).toInt
+          }
+        }
+        rounds += 1
       }
-      cands.values.foreach { case (d, c) =>
-        if (!seen.contains(c)) { seen += c; frontier += ((d, c)) }
-      }
-      rounds += 1
     }
     (seen.toSet, drains.result())
   }
@@ -94,7 +122,7 @@ class CrawlSpec extends AnyFunSuite {
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
     val (simSeen, simDrains) = simulate()
     val simSeenHashes = simSeen.map(UrlOps.fnv1a64)
-    val simFetchedPerRound = simDrains.map(_.filter(pageMap.contains))
+    val simFetchedPerRound = simDrains.map(_._2.filter(pageMap.contains))
 
     // lazy-fold (default: pending path, filters never refold at this scale),
     // fold-every-round (round-2 behavior), and fold+grow (tiny capacity
@@ -105,7 +133,7 @@ class CrawlSpec extends AnyFunSuite {
       "grow" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0, filterCapacityPerBucket = 16))
     for ((label, fcfg) <- configs) {
       val stateDir = java.nio.file.Files.createTempDirectory(s"graft-crawlspec-$label-").toString
-      val stats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      val stats = CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
         robots, fcfg, stateDir)
 
       // final URL-seen set: compare via hashes (engine stores hashes)
@@ -162,6 +190,76 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("C4: robots rules come only from /robots.txt page bodies in the pages table") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4)
+      .union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-robotspages-").toString
+    // NEW api: no rules parameter anywhere — the engine fetches
+    // https://host/robots.txt rows from the pages table itself
+    val stats = CrawlEngine.run(spark, pages,
+      spark.createDataset(SyntheticWeb.seedUrls(nHosts)), cfg, stateDir)
+    val (simSeen, simDrains) = simulate()
+    val m = SnapshotStore.latestManifest(stateDir).get
+    val engineSeen = SnapshotStore.read(spark, m, "seen")
+      .select("url_hash").as[Long].collect().toSet
+    assert(engineSeen == simSeen.map(UrlOps.fnv1a64))
+    assert(stats.rounds == simDrains.size)
+    // the robots table persisted the PARSED rules (including host2's Allow)
+    import graft.frontier.RobotsEntry
+    val rt = SnapshotStore.read(spark, m, "robots").as[RobotsEntry].collect()
+    assert(rt.find(_.host == "host1.example").get.disallow == Seq("/private", "/tag"))
+    assert(rt.find(_.host == "host2.example").get.allow == Seq("/private/area0"))
+    // the Allow exception actually enqueued the excepted url (it is later
+    // drained — no page serves it — so assert on the seen set, not frontier)
+    assert(engineSeen.contains(
+        UrlOps.fnv1a64("https://host2.example/private/area0")),
+      "host2's Allow-excepted /private/area0 must be enqueued")
+    assert(!engineSeen.contains(UrlOps.fnv1a64("https://host0.example/private/area0")),
+      "other hosts' /private stays blocked")
+    // a host with no robots.txt row gets the allow-all negative-cache entry
+    val stateDir2 = java.nio.file.Files.createTempDirectory("graft-norobots-").toString
+    CrawlEngine.run(spark, SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF(),
+      spark.createDataset(SyntheticWeb.seedUrls(nHosts)), cfg.copy(maxRounds = 2), stateDir2)
+    val rt2 = SnapshotStore.read(spark,
+      SnapshotStore.latestManifest(stateDir2).get, "robots").as[RobotsEntry].collect()
+    assert(rt2.nonEmpty && rt2.forall(r => r.allow.isEmpty && r.disallow.isEmpty))
+  }
+
+  test("C5: crawl-delay closes a host's window for ceil(D/roundTime) rounds") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
+    // host0 serves Crawl-delay: 2.5s against the 1s logical round
+    val delayed = robots.map(r =>
+      if (r.host == "host0.example") r.copy(crawl_delay_ms = 2500L) else r)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-delay-").toString
+    CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
+      delayed, cfg, stateDir)
+    val m = SnapshotStore.latestManifest(stateDir).get
+    // engine (roundNo, fetched-set) per committed round == delay-aware sim
+    val (simSeen, simDrains) = simulate(delayed)
+    val simFetched = simDrains.map { case (r, us) => (r, us.filter(pageMap.contains).toSet) }
+    val versions = (1 to m.version).flatMap { v =>
+      scala.util.Try(SnapshotStore.readManifest(stateDir, v)).toOption
+    }
+    val engineFetched = versions.map { mr =>
+      (mr.counters("round").toInt,
+        SnapshotStore.read(spark, mr, "outputs").select("url").as[String].collect().toSet)
+    }
+    assert(engineFetched == simFetched,
+      s"per-round fetch parity under crawl-delay:\n e=$engineFetched\n s=$simFetched")
+    // host0 fetch rounds spaced >= ceil(2500/1000) = 3 apart
+    val host0Rounds = engineFetched.filter(_._2.exists(_.contains("host0"))).map(_._1)
+    assert(host0Rounds.size >= 2, "need at least two host0 windows to assert spacing")
+    host0Rounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a >= 3, s"host0 drained in rounds $a and $b, closer than its delay")
+    }
+    // seen-set parity too
+    val engineSeen = SnapshotStore.read(spark, m, "seen")
+      .select("url_hash").as[Long].collect().toSet
+    assert(engineSeen == simSeen.map(UrlOps.fnv1a64))
+  }
+
   test("legacy (pre-delta-format) snapshots are rejected loudly, not resumed as empty") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft-legacy-").toString
@@ -173,7 +271,7 @@ class CrawlSpec extends AnyFunSuite {
       Map("frontier" -> s"$stateDir/data/v0/frontier"), Map("round" -> -1L)))
     val pages = SyntheticWeb.pagesFast(spark, 8, nHosts, 2).toDF()
     val e = intercept[IllegalStateException] {
-      CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
+      CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
     }
     assert(e.getMessage.contains("incompatible legacy snapshot format"))
   }
@@ -184,15 +282,15 @@ class CrawlSpec extends AnyFunSuite {
 
     // full run
     val fullDir = java.nio.file.Files.createTempDirectory("graft-full-").toString
-    val fullStats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+    val fullStats = CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
       robots, cfg, fullDir)
 
     // interrupted run: only 2 rounds, then resume with full budget
     val partDir = java.nio.file.Files.createTempDirectory("graft-part-").toString
-    CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+    CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
       robots, cfg.copy(maxRounds = 2), partDir)
     // simulate crash: a torn uncommitted write must be invisible
-    val resumedStats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+    val resumedStats = CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
       robots, cfg, partDir)
 
     assert(resumedStats.fetched == fullStats.fetched)
@@ -211,12 +309,12 @@ class CrawlSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF()
     val stateDir = java.nio.file.Files.createTempDirectory("graft-testmode-").toString
-    val stats = CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts),
+    val stats = CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
       robots, cfg.copy(isTest = true), stateDir)
     assert(stats.fetched == 0 && stats.seenSize == 0, "all example seeds skipped")
     // non-example seeds survive test mode (and simply fetch nothing here)
     val stateDir2 = java.nio.file.Files.createTempDirectory("graft-testmode2-").toString
-    val stats2 = CrawlEngine.run(spark, pages,
+    val stats2 = CrawlEngine.runWithRules(spark, pages,
       Seq("https://real.site/page/0"), robots, cfg.copy(isTest = true), stateDir2)
     assert(stats2.seenSize == 1)
   }
@@ -300,11 +398,13 @@ class CrawlSpec extends AnyFunSuite {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
     val stateDir = java.nio.file.Files.createTempDirectory("graft-robots-").toString
-    CrawlEngine.run(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
+    CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts), robots, cfg, stateDir)
     val m = SnapshotStore.latestManifest(stateDir).get
     val frontierUrls = CrawlEngine.readFrontier(spark, m)
       .select("url").as[String].collect()
-    assert(!frontierUrls.exists(_.contains("/private")),
+    // /private is disallowed everywhere, except host2's Allow-excepted area0
+    assert(!frontierUrls.exists(u => u.contains("/private") &&
+        u != "https://host2.example/private/area0"),
       "disallowed /private urls must never be enqueued")
     // lineage recorded robots blocks
     val lineage = SnapshotStore.read(spark, m, "lineage")
