@@ -38,7 +38,10 @@ final case class RequestDoc(
     no_async: Boolean,
     detectors: Seq[String],
     execution_time_json: String,
-    created_at: java.sql.Timestamp)
+    created_at: java.sql.Timestamp,
+    // monotone per-id revision: the append-only store models PUT updates as
+    // a new row with the same id and rev+1; readers resolve max-rev per id
+    rev: Long = 0L)
 
 /** Node annotation (/root/reference/webspot/models/node.py:12-17 +
   * web/models/payload/node.py): a user-attached tag on a DOM node of a
@@ -160,12 +163,25 @@ object RequestStore {
       carry = carried)
   }
 
-  /** newest-first paging (request.py:24-28, W4). */
+  /** Resolve last-writer-wins over the append-only rows: one row per id, the
+    * max-rev one (created_at tie-break for robustness).
+    */
+  private def latestPerId(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(desc("rev"), desc("created_at"))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** newest-first paging (request.py:24-28, W4) — updated docs appear once,
+    * at their latest revision, ordered by their ORIGINAL creation time (the
+    * reference PUT mutates the Mongo doc in place; list order is by id/time,
+    * not touch time).
+    */
   def list(spark: SparkSession, storeDir: String, skip: Int, limit: Int): DataFrame =
     SnapshotStore.latestManifest(storeDir) match {
       case None => spark.emptyDataFrame
       case Some(m) =>
-        SnapshotStore.read(spark, m, "requests")
+        latestPerId(SnapshotStore.read(spark, m, "requests"))
           .orderBy(desc("created_at"), desc("id"))
           .offset(skip)
           .limit(limit)
@@ -175,7 +191,23 @@ object RequestStore {
     import spark.implicits._
     SnapshotStore.latestManifest(storeDir).flatMap { m =>
       SnapshotStore.read(spark, m, "requests")
-        .filter(col("id") === id).as[RequestDoc].collect().headOption
+        .filter(col("id") === id).as[RequestDoc].collect()
+        .sortBy(d => (-d.rev, -d.created_at.getTime)).headOption
+    }
+  }
+
+  /** PUT /api/requests/{id} analog (reference request.py:90-97: fetch the
+    * doc, set the payload's fields, save). `mutate` receives the current
+    * latest revision; the result is appended with the same id and rev+1 —
+    * readers (get/list/requestHtml) resolve to it. None if the id is absent.
+    */
+  def update(spark: SparkSession, storeDir: String, id: String,
+      mutate: RequestDoc => RequestDoc): Option[RequestDoc] = {
+    import spark.implicits._
+    get(spark, storeDir, id).map { cur =>
+      val next = mutate(cur).copy(id = cur.id, rev = cur.rev + 1)
+      appendDelta(spark, storeDir, "requests", Seq(next).toDF())
+      next
     }
   }
 

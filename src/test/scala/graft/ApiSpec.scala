@@ -48,6 +48,33 @@ class ApiSpec extends AnyFunSuite {
     assert(doc.get.results_json.contains("\"plain_list\""))
   }
 
+  test("PUT update-by-id: last-writer-wins round-trip (request.py:90-97)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-req-put-").toString
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    RequestStore.submit(spark, dir, Seq(page(0, 0), page(0, 1)).toDS(), t1)
+    val id = RequestStore.list(spark, dir, 0, 1).collect().head.getAs[String]("id")
+
+    val updated = RequestStore.update(spark, dir, id,
+      d => d.copy(status = "error", error = "manual override", duration = 42L))
+    assert(updated.exists(d => d.rev == 1L && d.error == "manual override"))
+    // get resolves to the latest revision
+    val got = RequestStore.get(spark, dir, id).get
+    assert(got.rev == 1L && got.status == "error" && got.duration == 42L)
+    assert(got.created_at == t1, "update keeps the original creation time")
+    // list shows ONE row per id, at the latest revision
+    val rows = RequestStore.list(spark, dir, 0, 10).collect()
+    assert(rows.length == 2)
+    assert(rows.count(_.getAs[String]("id") == id) == 1)
+    assert(rows.find(_.getAs[String]("id") == id).get.getAs[Long]("duration") == 42L)
+    // a second update bumps rev again
+    val again = RequestStore.update(spark, dir, id, _.copy(duration = 43L)).get
+    assert(again.rev == 2L)
+    assert(RequestStore.get(spark, dir, id).get.duration == 43L)
+    // unknown id -> None, nothing written
+    assert(RequestStore.update(spark, dir, "nope", identity).isEmpty)
+  }
+
   test("request doc carries the full reference field set (request.py:26-40)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-req-parity-").toString
