@@ -148,7 +148,7 @@ object Bench {
     // passes interleaved with the other (16,4,16,4), best across passes —
     // the throttle drift hits both sides of the ratio.
     val levels: Seq[(Int, Int)] =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "16:2,4:1,16:2,4:1,32:2")
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "16:2,4:2,16:2,4:2,32:2")
         .split(",").toSeq.map { s =>
           val Array(c, t) = s.split(":"); (c.trim.toInt, t.trim.toInt)
         }

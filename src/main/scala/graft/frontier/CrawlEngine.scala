@@ -29,7 +29,11 @@ final case class LineageRow(round: Int, bucket: Int, drained: Long, fetched: Lon
     extracted_rows: Long, candidates: Long, robots_blocked: Long, deduped: Long,
     new_urls: Long, politeness_deferred: Long)
 
-/** Per-page output of the fused fetch→detect→extract map. */
+/** Per-page output of the fused fetch→detect→extract map. `links` are
+  * CANONICAL urls with `link_hosts` parallel — canonicalization happens once,
+  * inside the (CPU-fused) detect map, so neither the host-discovery pass nor
+  * the candidate chain ever re-parses a url.
+  */
 final case class PageOutput(
     url: String,
     depth: Int,
@@ -38,7 +42,8 @@ final case class PageOutput(
     n_rows: Int,
     extracted_text: String,
     next_url: String,
-    links: Seq[String])
+    links: Seq[String],
+    link_hosts: Seq[String])
 
 final case class RobotsRule(host: String, allow_prefixes: Seq[String],
     disallow_prefixes: Seq[String], crawl_delay_ms: Long)
@@ -127,6 +132,15 @@ object CrawlEngine {
 
   def entry(url: String, depth: Int, round: Int, numBuckets: Int): FrontierEntry = {
     val (canon, host) = UrlOps.canonicalParts(url)
+    entryOf(canon, host, depth, round, numBuckets)
+  }
+
+  /** Entry from an ALREADY-canonical (url, host) pair — hash-only, no parse
+    * (the candidate chain runs this per link after the detect map
+    * canonicalized them once).
+    */
+  def entryOf(canon: String, host: String, depth: Int, round: Int,
+      numBuckets: Int): FrontierEntry = {
     val h = UrlOps.fnv1a64(canon)
     val hh = UrlOps.fnv1a64(host)
     FrontierEntry(canon, h, host, (hh ^ (hh >>> 32)).toInt,
@@ -167,7 +181,7 @@ object CrawlEngine {
   }
 
   private val robotsAllowUdf = udf { (url: String, allow: Seq[String], dis: Seq[String]) =>
-    dis == null || Robots.allowed(UrlOps.parse(url).path,
+    dis == null || Robots.allowed(UrlOps.pathOfCanonical(url),
       if (allow == null) Seq.empty else allow, dis)
   }
 
@@ -304,10 +318,6 @@ object CrawlEngine {
       }
     val drainedKeys = drained.select($"url_hash")
 
-    val drainedTotal =
-      if (wholeFrontier) frontierSize else timed("drain")(drained.count())
-    val politenessDeferred = frontierSize - drainedTotal
-
     // --- "fetch" (J4): drained ⨝ pages on url ---
     // html bytes dominate the row size: broadcast the (small) drained keys
     // and stream the pages scan so no html ever crosses a shuffle; beyond
@@ -322,55 +332,94 @@ object CrawlEngine {
       .as[(String, Int, Array[Byte])]
 
     // --- fused detect/extract map (3.1): ONE narrow map, no shuffle ---
+    // links are canonicalized HERE (one parse per link, fused with the
+    // CPU-heavy detect) so every downstream pass is hash/string-cheap
     val outputs: Dataset[PageOutput] = fetched.map { case (url, depth, html) =>
       val doc = HtmlParser.parseBytes(html)
       val det = Detector.detectDoc(url, doc)
       val rows = det.lists.headOption.map(_.data).getOrElse(Seq.empty)
       val text = rows.flatMap(_.values.get("Field_text_1")).mkString("\n")
-      val links = Detector.extractLinks(url, doc)
+      val raw = Detector.extractLinks(url, doc)
+      val canon = new Array[String](raw.length)
+      val hosts = new Array[String](raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val ch = UrlOps.canonicalParts(raw(i))
+        canon(i) = ch._1; hosts(i) = ch._2
+        i += 1
+      }
       PageOutput(url, depth, det.nNodes, det.lists.size,
         det.lists.map(_.data.size).sum, text,
-        det.pagination.map(_.nextUrl).orNull, links)
+        det.pagination.map(_.nextUrl).orNull,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(canon),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(hosts))
     }.persist()
 
     // materialize outputs now: one combined agg job for (fetched, extracted);
-    // everything downstream reads the persisted outputs
+    // everything downstream reads the persisted outputs. The drained count is
+    // deliberately NOT a separate job barrier before this: the fetch join's
+    // broadcast build materializes the persisted `drained`, so counting it
+    // afterwards reads the cache.
     val (fetchedTotal, extractedTotal) = timed("fetch+detect")(outputs
       .agg(count(lit(1)), coalesce(sum($"n_rows"), lit(0L)))
       .as[(Long, Long)].head())
+    val drainedTotal =
+      if (wholeFrontier) frontierSize else timed("drain")(drained.count())
+    val politenessDeferred = frontierSize - drainedTotal
 
-    // --- candidates (C2): explode links, canonicalize, allow-domains filter ---
+    // --- candidates (C2): explode pre-canonicalized links (hash-only),
+    // allow-domains filter ---
     val allowedHosts = cfg.allowedHosts
     val nb = cfg.numBuckets
-    val rawCands = outputs.flatMap(o => o.links.map(l => (l, o.depth + 1)))
-      .map { case (u, d) => entry(u, d, roundNo + 1, nb) }
-      .filter(e => allowedHosts.isEmpty || allowedHosts.contains(e.host))
+    val rn1 = roundNo + 1
+    val rawCands = outputs.flatMap { o =>
+      val d = o.depth + 1
+      o.links.iterator.zip(o.link_hosts.iterator)
+        .map { case (c, h) => entryOf(c, h, d, rn1, nb) }
+    }.filter(e => allowedHosts.isEmpty || allowedHosts.contains(e.host))
 
     // --- in-round dedup (min depth wins, then url — deterministic) ---
     // Tungsten-native: min over a (depth, url, ...) struct under hash agg
     // with partial (map-side) combine — no object serde, no GC churn on the
     // full candidate volume (struct ordering is lexicographic by field).
-    // Dedup runs BEFORE the robots gate so the robots host-join (and the
-    // per-round new-host discovery) see the much smaller unique-url set.
-    val dedupedCands = rawCands.toDF()
+    // Dedup runs BEFORE the robots gate so the robots host-join sees the
+    // smaller unique-url set.
+    val dedupedCands0 = rawCands.toDF()
       .groupBy($"url_hash")
       .agg(min(struct($"depth", $"url", $"host", $"host_hash", $"bucket",
         $"priority", $"discovered_round")).as("e"))
       .select($"e.url", $"url_hash", $"e.host", $"e.host_hash", $"e.bucket",
         $"e.priority", $"e.depth", $"e.discovered_round")
       .as[FrontierEntry]
-      .persist()
+    // detail mode runs 2 extra counts over this set — cache the dedup
+    // shuffle then instead of paying it 3x (throughput mode stays unpersisted:
+    // the probe chain is its only consumer)
+    val dedupedCands =
+      if (cfg.lineageDetail) dedupedCands0.persist() else dedupedCands0
 
     // --- robots (C4): fetch rules for hosts FIRST SEEN this round from the
     // pages source, then gate candidates via the (broadcastable) host join ---
-    val candHosts = dedupedCands.groupBy($"host")
-      .agg(min(substring_index($"url", "://", 1)).as("scheme"))
+    // Host discovery is a NARROW pass (per-partition host set over the
+    // persisted outputs' links, then a tiny distinct) — it must not pay the
+    // full url-dedup shuffle, which belongs to the single probe-job chain.
+    val candHosts = rawCands.mapPartitions { it =>
+      val m = mutable.HashMap.empty[String, String] // host -> min scheme
+      it.foreach { e =>
+        val sch = e.url.substring(0, e.url.indexOf(':'))
+        val cur = m.getOrElse(e.host, null)
+        if (cur == null || sch < cur) m(e.host) = sch
+      }
+      m.iterator
+    }.toDF("host", "scheme")
+      .groupBy($"host").agg(min($"scheme").as("scheme"))
     val newHosts = candHosts.join(robots.select($"host"), Seq("host"), "left_anti")
-    val nNewHosts = timed("robots-hosts")(newHosts.count())
+    // NO job barrier here: the robots fetch is a SUBPLAN of the probe-chain
+    // job (its result is persisted as a side effect of that job); the
+    // new-host count — needed only for the commit's delta-vs-carry decision —
+    // reads the cache afterwards
     val robotsDelta: Dataset[RobotsEntry] =
-      if (nNewHosts == 0) spark.emptyDataset[RobotsEntry]
-      else fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
-    val robotsAll = if (nNewHosts == 0) robots else robots.union(robotsDelta)
+      fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
+    val robotsAll = robots.union(robotsDelta)
     val allowedCands = applyRobots(dedupedCands, robotsAll)
 
     // detailed counters (2 extra jobs) only when lineageDetail is on
@@ -416,6 +465,8 @@ object CrawlEngine {
       .as[FrontierEntry]
     val newEntries = definiteNew.union(fpNew).persist()
     val nNew = timed("probe+new")(newEntries.count())
+    // cache-read: materialized inside the probe job above
+    val nNewHosts = robotsDelta.count()
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
     // append-only delta: ONLY the newly-enqueued urls (the full seen set is
@@ -449,8 +500,8 @@ object CrawlEngine {
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
     RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
       delayDelta, outputs, lineage, stats,
-      Seq(drained, outputs, dedupedCands, probed, newEntries) ++
-        (if (nNewHosts > 0) Seq(robotsDelta) else Seq.empty))
+      Seq(drained, outputs, probed, newEntries, robotsDelta) ++
+        (if (cfg.lineageDetail) Seq(dedupedCands) else Seq.empty))
   }
 
   /** Fold pending seen keys into the per-bucket cuckoo filters, growing any
@@ -719,7 +770,7 @@ object CrawlEngine {
         }
         val tables = folded.map(f => Map("filters" -> f.toDF())).getOrElse(Map.empty) ++
           delayTable.map(t => Map("host_next_ok" -> t._1)).getOrElse(Map.empty) ++
-          (if (collectOutputs) Map("outputs" -> r.outputs.drop("links").toDF()) else Map.empty)
+          (if (collectOutputs) Map("outputs" -> r.outputs.drop("links", "link_hosts").toDF()) else Map.empty)
         val carry =
           (if (doFold) Map.empty[String, Seq[String]]
            else Map("filters" -> SnapshotStore.dirsOf(manifest, "filters"))) ++

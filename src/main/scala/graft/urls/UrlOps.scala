@@ -211,6 +211,19 @@ object UrlOps {
 
   def hostOf(url: String): String = lowerFast(parse(url).host)
 
+  /** Path of an already-CANONICAL url (scheme://host[:port]/path[?query],
+    * no fragment) without a full parse — equals `parse(url).path` on
+    * canonicalize() output. The robots gate calls this once per candidate.
+    */
+  def pathOfCanonical(url: String): String = {
+    val i = url.indexOf("://")
+    if (i < 0) return parse(url).path
+    val j = url.indexOf('/', i + 3)
+    if (j < 0) return ""
+    val q = url.indexOf('?', j)
+    if (q < 0) url.substring(j) else url.substring(j, q)
+  }
+
   def hostHash(url: String): Int = {
     val h = fnv1a64(hostOf(url))
     (h ^ (h >>> 32)).toInt

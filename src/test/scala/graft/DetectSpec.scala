@@ -90,6 +90,20 @@ class DetectSpec extends AnyFunSuite {
       "https://other.example/c"))
   }
 
+  test("plain-table detector: selects table nodes, emits no results (reference parity)") {
+    val html =
+      """<html><body><div class="c"><table><tr><td>a</td><td>b</td></tr>
+        |<tr><td>c</td><td>d</td></tr></table></div>
+        |<table id="t2"><tr><td>e</td></tr></table></body></html>""".stripMargin
+    val doc = graft.dom.HtmlParser.parseBytes(html.getBytes("UTF-8"))
+    val g = graft.detect.PageGraph(doc).get
+    val tables = graft.detect.PlainTable.tableNodes(g)
+    assert(tables.size == 2)
+    assert(tables.forall(i => g.node(i).tag == "table"))
+    // bug-compat: the reference's _train() is `pass` — never any results
+    assert(graft.detect.PlainTable.run(g).isEmpty)
+  }
+
   test("detection is deterministic") {
     val a = detectPage(2, 3)
     val b = detectPage(2, 3)
