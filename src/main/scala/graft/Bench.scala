@@ -106,11 +106,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 160k pages: one round's detect work dominates the per-round fixed
+    // 200k pages: one round's detect work dominates the per-round fixed
     // cost (~30x at the 4-core level), so the scaling ratio measures the
     // pipeline, not job-scheduling constants (rounds at production scale
     // are larger still)
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "160000").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toInt
     val nHosts = 16
 
     // part 1: per-query timings (skippable for crawl-bench iteration)
@@ -137,7 +137,7 @@ object Bench {
     // levels make whichever runs later look slower. A short idle cooldown
     // before each level's timed trials restores the budget so both levels
     // measure the same machine.
-    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "30").toInt * 1000L
+    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "40").toInt * 1000L
     // level order: 16 first on a fresh budget (it is the throttle-sensitive
     // one); the 4-thread level burns 1/8th of the box and is stable. More
     // trials at 16 (cheap) to ride out residual host noise. Levels/trials

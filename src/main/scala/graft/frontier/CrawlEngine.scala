@@ -384,18 +384,21 @@ object CrawlEngine {
     // full candidate volume (struct ordering is lexicographic by field).
     // Dedup runs BEFORE the robots gate so the robots host-join sees the
     // smaller unique-url set.
-    val dedupedCands0 = rawCands.toDF()
+    // `dups` carries each group's raw multiplicity so detail mode can read
+    // the raw-candidate count off the deduped set without a second pass.
+    // Detail mode caches the dedup shuffle (one extra counter job reads it);
+    // throughput mode stays unpersisted — the probe chain is its only
+    // consumer.
+    val dedupedWithDups0 = rawCands.toDF()
       .groupBy($"url_hash")
       .agg(min(struct($"depth", $"url", $"host", $"host_hash", $"bucket",
-        $"priority", $"discovered_round")).as("e"))
+        $"priority", $"discovered_round")).as("e"),
+        count(lit(1)).as("dups"))
       .select($"e.url", $"url_hash", $"e.host", $"e.host_hash", $"e.bucket",
-        $"e.priority", $"e.depth", $"e.discovered_round")
-      .as[FrontierEntry]
-    // detail mode runs 2 extra counts over this set — cache the dedup
-    // shuffle then instead of paying it 3x (throughput mode stays unpersisted:
-    // the probe chain is its only consumer)
-    val dedupedCands =
-      if (cfg.lineageDetail) dedupedCands0.persist() else dedupedCands0
+        $"e.priority", $"e.depth", $"e.discovered_round", $"dups")
+    val dedupedWithDups =
+      if (cfg.lineageDetail) dedupedWithDups0.persist() else dedupedWithDups0
+    val dedupedCands = dedupedWithDups.drop("dups").as[FrontierEntry]
 
     // --- robots (C4): fetch rules for hosts FIRST SEEN this round from the
     // pages source, then gate candidates via the (broadcastable) host join ---
@@ -422,12 +425,18 @@ object CrawlEngine {
     val robotsAll = robots.union(robotsDelta)
     val allowedCands = applyRobots(dedupedCands, robotsAll)
 
-    // detailed counters (2 extra jobs) only when lineageDetail is on
+    // detailed counters — ONE extra job when lineageDetail is on: the cached
+    // deduped set (with multiplicities) joined to robots yields raw, deduped
+    // and allowed counts in a single aggregation
     val (nRawCands, dedupedInRound, robotsBlocked) =
       if (cfg.lineageDetail) {
-        val raw = rawCands.count()
-        val deduped = dedupedCands.count()
-        val allowed = allowedCands.count()
+        val (raw, deduped, allowed) = dedupedWithDups
+          .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
+            Seq("host"), "left")
+          .agg(coalesce(sum($"dups"), lit(0L)), count(lit(1)),
+            coalesce(sum(when(robotsAllowUdf($"url", $"allow", $"disallow"), 1L)
+              .otherwise(0L)), lit(0L)))
+          .as[(Long, Long, Long)].head()
         (raw, raw - deduped, deduped - allowed)
       } else (-1L, -1L, -1L)
 
@@ -501,7 +510,7 @@ object CrawlEngine {
     RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
       delayDelta, outputs, lineage, stats,
       Seq(drained, outputs, probed, newEntries, robotsDelta) ++
-        (if (cfg.lineageDetail) Seq(dedupedCands) else Seq.empty))
+        (if (cfg.lineageDetail) Seq(dedupedWithDups) else Seq.empty))
   }
 
   /** Fold pending seen keys into the per-bucket cuckoo filters, growing any

@@ -8,9 +8,10 @@ package graft.frontier
   * `User-agent` lines open one group, the most specific matching group wins
   * (longest agent token; `*` matches all), empty `Allow`/`Disallow` values
   * are ignored, and rule precedence is RFC 9309 §2.2.2 longest-match with
-  * Allow winning ties ([[allowed]]). Deviation (documented): `*`/`$` wildcard
-  * patterns inside paths are not expanded — rules are plain prefixes, the
-  * only form the fixture corpus and the reference tests exercise.
+  * Allow winning ties ([[allowed]]). Rule paths support the RFC §2.2.3
+  * special characters: `*` matches any character sequence and a trailing `$`
+  * anchors the rule at the end of the path ([[matches]]); plain rules stay
+  * on the prefix fast path.
   */
 object Robots {
 
@@ -78,8 +79,37 @@ object Robots {
     }
   }
 
+  /** RFC 9309 §2.2.3 rule matching: the rule is a path prefix where `*`
+    * matches any character sequence and a trailing `$` anchors at path end.
+    * Plain rules (no special chars) take the startsWith fast path — the hot
+    * case for every fixture and most real robots files.
+    */
+  def matches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    if (!anchored && pattern.indexOf('*') < 0) return path.startsWith(pattern)
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val parts = pat.split("\\*", -1) // literal segments between wildcards
+    // leftmost-greedy sequential match (classic glob subsequence check)
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    var i = 1
+    while (i < parts.length) {
+      val p = parts(i)
+      if (i == parts.length - 1 && anchored) {
+        if (!(path.endsWith(p) && path.length - p.length >= pos)) return false
+        pos = path.length
+      } else {
+        val j = path.indexOf(p, pos)
+        if (j < 0) return false
+        pos = j + p.length
+      }
+      i += 1
+    }
+    if (anchored && parts.length == 1) pos == path.length else true
+  }
+
   /** RFC 9309 §2.2.2 rule precedence: the most specific (longest) matching
-    * prefix decides; `Allow` wins length ties; no matching rule = allowed.
+    * rule decides; `Allow` wins length ties; no matching rule = allowed.
     */
   def allowed(path: String, allows: Seq[String], disallows: Seq[String]): Boolean = {
     var best = -1 // longest matching disallow
@@ -87,14 +117,14 @@ object Robots {
     var i = 0
     while (i < disallows.length) {
       val p = disallows(i)
-      if (p.length > best && path.startsWith(p)) best = p.length
+      if (p.length > best && matches(path, p)) best = p.length
       i += 1
     }
     if (best < 0) return true
     i = 0
     while (i < allows.length) {
       val p = allows(i)
-      if (p.length > bestAllow && path.startsWith(p)) bestAllow = p.length
+      if (p.length > bestAllow && matches(path, p)) bestAllow = p.length
       i += 1
     }
     bestAllow >= best

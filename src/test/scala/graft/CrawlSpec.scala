@@ -394,6 +394,29 @@ class CrawlSpec extends AnyFunSuite {
     assert(rt == r)
   }
 
+  test("robots wildcards: RFC 9309 * and $ matching") {
+    import graft.frontier.Robots.{allowed, matches}
+    // * matches any sequence
+    assert(matches("/x/private/a", "/*/private"))
+    assert(!matches("/private", "/*/private"))
+    assert(matches("/a/b/c.php", "/a*php"))
+    assert(matches("/ab", "/a*"))
+    assert(matches("/a--b--c", "/a*b*c"))
+    assert(!matches("/a--c--b", "/a*b*c"))
+    // $ anchors at path end
+    assert(matches("/page.php", "/*.php$"))
+    assert(!matches("/page.php?x=1", "/*.php$")) // query not in path here
+    assert(!matches("/page.phpx", "/*.php$"))
+    assert(matches("/exact", "/exact$"))
+    assert(!matches("/exactly", "/exact$"))
+    assert(matches("/any/thing", "/any*$"))
+    // plain prefixes keep prefix semantics
+    assert(matches("/private/sub", "/private"))
+    // precedence with wildcard rules: longest pattern wins, Allow wins ties
+    assert(!allowed("/files/secret.pdf", Seq("/files"), Seq("/files/*.pdf$")))
+    assert(allowed("/files/notes.txt", Seq("/files"), Seq("/files/*.pdf$")))
+  }
+
   test("robots filter blocks disallowed prefixes") {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
