@@ -402,19 +402,12 @@ object CrawlEngine {
 
     // --- robots (C4): fetch rules for hosts FIRST SEEN this round from the
     // pages source, then gate candidates via the (broadcastable) host join ---
-    // Host discovery is a NARROW pass (per-partition host set over the
-    // persisted outputs' links, then a tiny distinct) — it must not pay the
-    // full url-dedup shuffle, which belongs to the single probe-job chain.
-    val candHosts = rawCands.mapPartitions { it =>
-      val m = mutable.HashMap.empty[String, String] // host -> min scheme
-      it.foreach { e =>
-        val sch = e.url.substring(0, e.url.indexOf(':'))
-        val cur = m.getOrElse(e.host, null)
-        if (cur == null || sch < cur) m(e.host) = sch
-      }
-      m.iterator
-    }.toDF("host", "scheme")
-      .groupBy($"host").agg(min($"scheme").as("scheme"))
+    // Host discovery aggregates the DEDUPED set: its url_hash dedup exchange
+    // is byte-identical to the probe branch's, so ReuseExchange materializes
+    // the shuffle once for both — the discovery branch costs one small host
+    // agg, not a second pass over the raw link volume.
+    val candHosts = dedupedCands.groupBy($"host")
+      .agg(min(substring_index($"url", "://", 1)).as("scheme"))
     val newHosts = candHosts.join(robots.select($"host"), Seq("host"), "left_anti")
     // NO job barrier here: the robots fetch is a SUBPLAN of the probe-chain
     // job (its result is persisted as a side effect of that job); the
@@ -422,7 +415,10 @@ object CrawlEngine {
     // reads the cache afterwards
     val robotsDelta: Dataset[RobotsEntry] =
       fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
-    val robotsAll = robots.union(robotsDelta)
+    // persisted: every job this round that references the rules (probe
+    // chain, detail counters, delay bookkeeping) plans against the tiny
+    // in-memory relation instead of re-planning the union+fetch subtree
+    val robotsAll = robots.union(robotsDelta).persist()
     val allowedCands = applyRobots(dedupedCands, robotsAll)
 
     // detailed counters — ONE extra job when lineageDetail is on: the cached
@@ -509,7 +505,7 @@ object CrawlEngine {
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
     RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
       delayDelta, outputs, lineage, stats,
-      Seq(drained, outputs, probed, newEntries, robotsDelta) ++
+      Seq(drained, outputs, probed, newEntries, robotsDelta, robotsAll) ++
         (if (cfg.lineageDetail) Seq(dedupedWithDups) else Seq.empty))
   }
 
