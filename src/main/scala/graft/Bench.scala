@@ -18,6 +18,16 @@ import graft.frontier.{CrawlConfig, CrawlEngine}
   */
 object Bench {
 
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(src)
+    try s.forEach { p =>
+      val q = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
+  }
+
   private def session(cpus: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -81,19 +91,24 @@ object Bench {
       CrawlEngine.run(spark, pages, seedDs(warm), warmCfg,
         graft.util.TempDirs.create("graft-warm-").toString,
         collectOutputs = false)
+      // bootstrap the v0 frontier snapshot ONCE per level, OUTSIDE the timed
+      // section (the metric is drain+extract of an EXISTING frontier table —
+      // production resumes from a committed snapshot, not seed ingestion);
+      // each trial resumes from a cheap filesystem COPY of it instead of
+      // re-crawling the bootstrap — on this burst-throttled host every
+      // avoided bootstrap preserves CPU budget for the timed rounds
+      val bootDir = graft.util.TempDirs.create(s"graft-bench-boot-$cpus-")
+      CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
+        bootDir.toString, collectOutputs = false)
       var best = 0.0
       var extracted = 0L
       var t = 0
       while (t < trials) {
-        val stateDir = graft.util.TempDirs.create(s"graft-bench-$cpus-").toString
-        // bootstrap the v0 frontier snapshot OUTSIDE the timed section: the
-        // metric is drain+extract of an EXISTING frontier table (production
-        // resumes from a committed snapshot), not seed ingestion
-        CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
-          stateDir, collectOutputs = false)
+        val stateDir = graft.util.TempDirs.create(s"graft-bench-$cpus-")
+        copyTree(bootDir, stateDir)
         val t0 = System.nanoTime()
-        val stats = CrawlEngine.run(spark, pages, seedDs(nPages), cfg, stateDir,
-          collectOutputs = false)
+        val stats = CrawlEngine.run(spark, pages, seedDs(nPages), cfg,
+          stateDir.toString, collectOutputs = false)
         val sec = (System.nanoTime() - t0) / 1e9
         if (nPages / sec > best) best = nPages / sec
         extracted = stats.extractedRows
@@ -113,22 +128,8 @@ object Bench {
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "160000").toInt
     val nHosts = 16
 
-    // part 1: per-query timings (skippable for crawl-bench iteration)
-    val results: Seq[(String, Double)] =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Seq.empty
-      else {
-        val spark = session(cpus)
-        spark.sparkContext.setLogLevel("WARN")
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
-        spark.stop()
-        r
-      }
-
-    // part 2: crawl throughput at two parallelism levels (N=4 vs 4N=16
+    // part 1 (RUNS FIRST — before the query sweep burns the host's CPU
+    // burst budget): crawl throughput at two parallelism levels (N=4 vs 4N=16
     // cores) on identical input — the single-box proxy for N vs 4N
     // executors (a real 4N cluster multiplies memory bandwidth 4x with the
     // cores; one box saturates its bus past ~16 threads, so 32-thread
@@ -137,7 +138,7 @@ object Bench {
     // levels make whichever runs later look slower. A short idle cooldown
     // before each level's timed trials restores the budget so both levels
     // measure the same machine.
-    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "40").toInt * 1000L
+    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "75").toInt * 1000L
     // level order: 16 first on a fresh budget (it is the throttle-sensitive
     // one); the 4-thread level burns 1/8th of the box and is stable. More
     // trials at 16 (cheap) to ride out residual host noise. Levels/trials
@@ -166,6 +167,21 @@ object Bench {
     val (thr32, extracted32) = measured.getOrElse(32,
       measured(levels.last._1))
     val eff416 = if (thr4 > 0) (thr16 / thr4) / 4.0 else 0.0
+
+    // part 2: per-query timings (skippable for crawl-bench iteration)
+    val results: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Seq.empty
+      else {
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        spark.stop()
+        r
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
