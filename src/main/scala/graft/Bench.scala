@@ -43,15 +43,22 @@ object Bench {
       .getOrCreate()
   }
 
-  /** One full crawl round draining `nPages` urls through the whole pipeline:
-    * politeness window → priority drain → fetch join → fused detect/extract →
-    * link explode → robots filter → cuckoo probe → snapshot commit.
-    * `trials` timed repetitions (fresh state dir each), best taken — the
-    * first run in a JVM otherwise pays JIT warmup and run-to-run variance
-    * pollutes the scaling-efficiency estimate.
+  final case class Thr(single: Double, multi: Double, extracted: Long)
+
+  /** Crawl `nPages` urls through the whole pipeline: politeness window →
+    * priority drain → fetch join → fused detect/extract → link explode →
+    * robots filter → cuckoo probe → snapshot commit. Two committed figures
+    * per level (round-3 verdict #4): ONE maximal round (the drain+extract
+    * kernel), and the SAME pages drained over `multiRounds` rounds — so
+    * per-round commit amortization, the fold policy and frontier compaction
+    * are paid inside the headline the way a real crawl pays them.
+    * `trials` timed repetitions (fresh state dir each, resumed from a copied
+    * bootstrap), best taken — the first run in a JVM otherwise pays JIT
+    * warmup and run-to-run variance pollutes the scaling-efficiency
+    * estimate.
     */
   private def crawlThroughput(cpus: Int, nPages: Int, nHosts: Int,
-      trials: Int = 2): (Double, Long) = {
+      trials: Int = 2, multiRounds: Int = 8): Thr = {
     val spark = session(cpus)
     try {
       import spark.implicits._
@@ -100,32 +107,44 @@ object Bench {
       val bootDir = graft.util.TempDirs.create(s"graft-bench-boot-$cpus-")
       CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
         bootDir.toString, collectOutputs = false)
-      var best = 0.0
-      var extracted = 0L
-      var t = 0
-      while (t < trials) {
+      def timedRun(runCfg: CrawlConfig): (Double, Long) = {
         val stateDir = graft.util.TempDirs.create(s"graft-bench-$cpus-")
         copyTree(bootDir, stateDir)
         val t0 = System.nanoTime()
-        val stats = CrawlEngine.run(spark, pages, seedDs(nPages), cfg,
+        val stats = CrawlEngine.run(spark, pages, seedDs(nPages), runCfg,
           stateDir.toString, collectOutputs = false)
-        val sec = (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, stats.extractedRows)
+      }
+      var best = 0.0
+      var bestMulti = 0.0
+      var extracted = 0L
+      val multiCfg = cfg.copy(
+        roundSize = (nPages + multiRounds - 1) / multiRounds,
+        maxRounds = multiRounds + 2)
+      var t = 0
+      while (t < trials) {
+        val (sec, ex) = timedRun(cfg)
         if (nPages / sec > best) best = nPages / sec
-        extracted = stats.extractedRows
+        extracted = ex
+        // one multi-round pass per trial window: same input, same bootstrap
+        if (t == 0) {
+          val (msec, _) = timedRun(multiCfg)
+          if (nPages / msec > bestMulti) bestMulti = nPages / msec
+        }
         t += 1
       }
-      (best, extracted)
+      Thr(best, bestMulti, extracted)
     } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 160k pages: one round's detect work dominates the per-round fixed
-    // cost (~30x at the 4-core level), so the scaling ratio measures the
+    // 200k pages: one round's detect work dominates the per-round fixed
+    // cost (~40x at the 4-core level), so the scaling ratio measures the
     // pipeline, not job-scheduling constants (rounds at production scale
     // are larger still)
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "160000").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toInt
     val nHosts = 16
 
     // part 1 (RUNS FIRST — before the query sweep burns the host's CPU
@@ -156,17 +175,24 @@ object Bench {
         .split(",").toSeq.map { s =>
           val Array(c, t) = s.split(":"); (c.trim.toInt, t.trim.toInt)
         }
-    var measured = Map.empty[Int, (Double, Long)]
+    var measured = Map.empty[Int, Thr]
     levels.foreach { case (c, t) =>
       Thread.sleep(cooldown)
       val r = crawlThroughput(c, benchPages, nHosts, trials = t)
-      measured += c -> measured.get(c).filter(_._1 >= r._1).getOrElse(r)
+      val merged = measured.get(c)
+        .map(p => Thr(math.max(p.single, r.single), math.max(p.multi, r.multi),
+          if (r.extracted > 0) r.extracted else p.extracted))
+        .getOrElse(r)
+      measured += c -> merged
     }
-    val (thr16, thr4) = (measured.get(16).map(_._1).getOrElse(0.0),
-      measured.get(4).map(_._1).getOrElse(0.0))
-    val (thr32, extracted32) = measured.getOrElse(32,
-      measured(levels.last._1))
+    val thr16 = measured.get(16).map(_.single).getOrElse(0.0)
+    val thr4 = measured.get(4).map(_.single).getOrElse(0.0)
+    val t32 = measured.getOrElse(32, measured(levels.last._1))
+    val (thr32, extracted32) = (t32.single, t32.extracted)
+    val (multi4, multi16, multi32) = (measured.get(4).map(_.multi).getOrElse(0.0),
+      measured.get(16).map(_.multi).getOrElse(0.0), t32.multi)
     val eff416 = if (thr4 > 0) (thr16 / thr4) / 4.0 else 0.0
+    val effMulti = if (multi4 > 0) (multi16 / multi4) / 4.0 else 0.0
 
     // part 2: per-query timings (skippable for crawl-bench iteration)
     val results: Seq[(String, Double)] =
@@ -187,7 +213,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"frontier_drain_extract_urls_per_sec","value":${f"$thr32%.1f"},"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"bench_pages":$benchPages,"urls_per_sec_4":${f"$thr4%.1f"},"urls_per_sec_16":${f"$thr16%.1f"},"urls_per_sec_32":${f"$thr32%.1f"},"scaling_efficiency":${f"$eff416%.3f"},"scaling_pair":"local[4]->local[16]","extracted_rows":$extracted32}""")
+      s"""{"metric":"frontier_drain_extract_urls_per_sec","value":${f"$thr32%.1f"},"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"bench_pages":$benchPages,"urls_per_sec_4":${f"$thr4%.1f"},"urls_per_sec_16":${f"$thr16%.1f"},"urls_per_sec_32":${f"$thr32%.1f"},"scaling_efficiency":${f"$eff416%.3f"},"scaling_pair":"local[4]->local[16]","urls_per_sec_multi_4":${f"$multi4%.1f"},"urls_per_sec_multi_16":${f"$multi16%.1f"},"urls_per_sec_multi_32":${f"$multi32%.1f"},"scaling_efficiency_multi":${f"$effMulti%.3f"},"multi_rounds":8,"extracted_rows":$extracted32}""")
 
     // persist the scaling evidence (BASELINE.md protocol)
     try {
@@ -201,15 +227,19 @@ object Bench {
            |seed=42, $benchPages pages, $nHosts hosts, Zipf host skew), at two
            |parallelism levels — the sandbox proxy for N vs 4N executors.
            |
-           || parallelism | URLs/sec |
-           ||---|---|
-           || local[4]  | ${f"$thr4%.1f"} |
-           || local[16] | ${f"$thr16%.1f"} |
-           || local[32] (peak) | ${f"$thr32%.1f"} |
+           || parallelism | URLs/sec (one maximal round) | URLs/sec (8 rounds) |
+           ||---|---|---|
+           || local[4]  | ${f"$thr4%.1f"} | ${f"$multi4%.1f"} |
+           || local[16] | ${f"$thr16%.1f"} | ${f"$multi16%.1f"} |
+           || local[32] (peak) | ${f"$thr32%.1f"} | ${f"$multi32%.1f"} |
            |
-           |scaling efficiency N=4 → 4N=16 cores:
-           |eff = (Thr_16/Thr_4)/4 = **${f"$eff416%.3f"}**
-           |(target ≥ 0.8 per BASELINE.json north rule)
+           |scaling efficiency N=4 → 4N=16 cores, eff = (Thr_16/Thr_4)/4:
+           |single maximal round **${f"$eff416%.3f"}**, 8-round drain
+           |**${f"$effMulti%.3f"}** (target ≥ 0.8 per BASELINE.json north
+           |rule). The 8-round figure drains the SAME $benchPages pages in
+           |8 fetch-schedule rounds — per-round snapshot commits, fold
+           |policy and frontier compaction are all inside the timed window,
+           |the way a real crawl pays them.
            |
            |The 4→16 pair is the single-box proxy for N vs 4N *executors*: a
            |real 4N-node cluster multiplies memory bandwidth 4x along with

@@ -23,6 +23,30 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Exact row count of a parquet table from the file FOOTERS, on the driver
+    * — table metadata the way an Iceberg manifest would carry it, so sizing
+    * decisions (e2's nBits) cost zero Spark jobs (round-3 verdict #5).
+    * Cached per path: repeat calls are free.
+    */
+  private val footerCounts = new scala.collection.concurrent.TrieMap[String, Long]
+  private def parquetRowCount(spark: SparkSession, path: String): Long =
+    footerCounts.getOrElseUpdate(path, {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      var total = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try total += r.getRecordCount finally r.close()
+        }
+      }
+      total
+    })
+
   // ---------------------------------------------------------------- relational
 
   /** A-1: hash aggregate with partial (map-side) combine. */
@@ -504,7 +528,9 @@ object Queries {
     val emb = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-    val nBits = e2NBits(emb.count())
+    // corpus size from parquet footers (driver-side metadata) — sizing nBits
+    // must not cost a count job before the real pass
+    val nBits = e2NBits(parquetRowCount(s, s"$d/embeddings.parquet"))
     val planesBc = s.sparkContext.broadcast(e2Planes)
     val bucketed = emb.map { case (id, v) =>
       (id, e2Bucket(v, planesBc.value, nBits), v)
@@ -534,27 +560,35 @@ object Queries {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
   }
 
-  /** multimodal plumbing: opaque binary column + typed metadata + stubbed
-    * decode (no image libs offline — the decode is a deterministic fake; the
-    * Spark-side schema/partitioning/batch shape is real). Oracled on the
-    * SQL-expressible metadata.
+  /** Multimodal plumbing: opaque binary image column + typed metadata, with
+    * a REAL decode step — each doc carries a bit-exact 24bpp BMP blob
+    * (synthetic pixel content; no image corpus ships offline) and the decode
+    * parses the BMP container itself ([[graft.functions.Bmp.decode]]), so
+    * the batch-shaped mapPartitions path exercises a genuine
+    * bytes→(width,height,bpp) codec, not a formula on doc_id. Other formats
+    * (JPEG/PNG/video) would drop into the same per-batch seam; the oracle
+    * recomputes the expected header fields from the corpus construction
+    * rule.
     */
   private def m1MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val blobs = t(s, d, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        (id, graft.functions.Bmp.build(((id % 64) + 1).toInt,
+          (((id / 64) % 64) + 1).toInt, seed = id * 0x9e3779b97f4a7c15L))
+      }
+      .toDF("doc_id", "blob")
       .as[(Long, Array[Byte])]
     // batch-shaped decode over partitions (mapInPandas analog in Scala):
-    // STUB decoder — derives fake (width, height, n_frames) deterministically
-    // from the bytes; a real codec drops in per batch.
+    // one decoder instance per batch, rows stream through it
     blobs.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val nBytes = bytes.length.toLong
-        val width = (id % 64) + 1
-        val height = ((id / 64) % 64) + 1
-        (id, nBytes, width, height)
+        val m = graft.functions.Bmp.decode(bytes)
+        (id, bytes.length.toLong, m.width, m.height, m.bpp)
       }
-    }.toDF("doc_id", "n_bytes", "stub_width", "stub_height")
+    }.toDF("doc_id", "n_bytes", "width", "height", "bpp")
   }
 
   /** native Catalyst url expressions (F1/F15): canonicalize/host/resolve stay
@@ -826,7 +860,12 @@ object Queries {
     catch {
       case e: IllegalArgumentException =>
         System.err.println(s"[queries] FATAL fixture-oracle generation failed: ${e.getMessage}")
-        Map.empty[String, String]
+        // do NOT silently shrink coverage: emit a sentinel oracle per fixture
+        // query that can never match its (non-empty) Spark result, so the
+        // round FAILS visibly on a cwd/GRAFT_EXPECTED_DIR mismatch
+        graft.tables.ExpectedDetect.names
+          .map(n => n -> "SELECT 'fixture-oracle-missing' AS err WHERE 1 = 0")
+          .toMap
     })
 
   private val staticOracles: Map[String, String] = Map(
@@ -1123,8 +1162,11 @@ object Queries {
         |SELECT query_id, rank, vec_id AS neighbor_id, cos
         |FROM ranked WHERE rank <= 10""".stripMargin,
     "m1_multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |  (doc_id % 64) + 1 AS stub_width,
-        |  ((doc_id // 64) % 64) + 1 AS stub_height
+      """SELECT doc_id,
+        |  54 + (((3 * ((doc_id % 64) + 1) + 3) // 4) * 4)
+        |    * (((doc_id // 64) % 64) + 1) AS n_bytes,
+        |  CAST((doc_id % 64) + 1 AS INT) AS width,
+        |  CAST(((doc_id // 64) % 64) + 1 AS INT) AS height,
+        |  24 AS bpp
         |FROM documents""".stripMargin)
 }

@@ -163,6 +163,21 @@ object RequestStore {
       carry = carried)
   }
 
+  /** Read the requests table, backfilling `rev` = 0 for delta dirs written
+    * before the column existed (a store dir carries old parquet dirs via
+    * appendDelta forever, so a schema addition must be tolerated at read —
+    * the crawl snapshot format has the same guard philosophy).
+    */
+  private def readRequests(spark: SparkSession,
+      m: SnapshotStore.Manifest): DataFrame = {
+    // mergeSchema: a mix of pre-rev and post-rev delta dirs must not drop
+    // the rev column just because the first-listed file lacks it
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(SnapshotStore.dirsOf(m, "requests"): _*)
+    if (df.columns.contains("rev")) df.withColumn("rev", coalesce(col("rev"), lit(0L)))
+    else df.withColumn("rev", lit(0L))
+  }
+
   /** Resolve last-writer-wins over the append-only rows: one row per id, the
     * max-rev one (created_at tie-break for robustness).
     */
@@ -181,7 +196,7 @@ object RequestStore {
     SnapshotStore.latestManifest(storeDir) match {
       case None => spark.emptyDataFrame
       case Some(m) =>
-        latestPerId(SnapshotStore.read(spark, m, "requests"))
+        latestPerId(readRequests(spark, m))
           .orderBy(desc("created_at"), desc("id"))
           .offset(skip)
           .limit(limit)
@@ -190,7 +205,7 @@ object RequestStore {
   def get(spark: SparkSession, storeDir: String, id: String): Option[RequestDoc] = {
     import spark.implicits._
     SnapshotStore.latestManifest(storeDir).flatMap { m =>
-      SnapshotStore.read(spark, m, "requests")
+      readRequests(spark, m)
         .filter(col("id") === id).as[RequestDoc].collect()
         .sortBy(d => (-d.rev, -d.created_at.getTime)).headOption
     }

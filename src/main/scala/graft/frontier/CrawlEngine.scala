@@ -157,17 +157,28 @@ object CrawlEngine {
     * itself (C4 as crawled data — the reference fetches robots live per
     * domain via scrapy's ROBOTSTXT_OBEY middleware, settings.py:19; here a
     * fetch is a join against the pages source, like every other fetch).
-    * `hosts`: (host, scheme). Missing robots.txt → allow-all row. The left
-    * side is tiny and `robotsSrc` is pre-filtered to `*`/robots.txt` rows
-    * (pushed to the scan), so AQE broadcasts the fetched bodies.
+    * `hosts`: one row per host. The join key is the HOST derived from the
+    * robots-row url (not a reconstructed `scheme://host/robots.txt` string),
+    * so a host discovered via http whose robots row is stored under https —
+    * or under any non-canonical robots url — still matches instead of
+    * becoming a permanent allow-all negative-cache entry; when both schemes
+    * carry a robots row the lexicographic max prefers https. Missing
+    * robots.txt → allow-all row (404 negative cache). The left side is tiny
+    * and `robotsSrc` is pre-filtered to `*`/robots.txt` rows (pushed to the
+    * scan), so AQE broadcasts the fetched bodies.
     */
   def fetchRobots(spark: SparkSession, hosts: DataFrame,
       robotsSrc: DataFrame, userAgent: String): Dataset[RobotsEntry] = {
     import spark.implicits._
+    val byHost = robotsSrc
+      .select(graft.functions.GraftFunctions.url_host($"url").as("host"),
+        $"url", $"html")
+      .groupBy($"host")
+      .agg(max(struct($"url", $"html")).as("r"))
+      .select($"host", $"r.html".as("html"))
     hosts
-      .select(concat($"scheme", lit("://"), $"host", lit("/robots.txt")).as("url"),
-        $"host")
-      .join(robotsSrc, Seq("url"), "left")
+      .select($"host")
+      .join(byHost, Seq("host"), "left")
       .select($"host", $"html")
       .as[(String, Array[Byte])]
       .map { case (host, html) =>
@@ -180,10 +191,18 @@ object CrawlEngine {
       }
   }
 
-  private val robotsAllowUdf = udf { (url: String, allow: Seq[String], dis: Seq[String]) =>
-    dis == null || Robots.allowed(UrlOps.pathOfCanonical(url),
-      if (allow == null) Seq.empty else allow, dis)
-  }
+  /** Candidate robots predicate: allowed when the host is absent from the
+    * robots table (left-join miss → null `disallow`) or the RFC 9309
+    * longest-match gate passes. The gate itself is a native codegen'd
+    * Catalyst expression ([[graft.functions.RobotsAllowed]]) — the per-link
+    * hot path stays inside whole-stage codegen (round-3 verdict #6, was a
+    * Scala UDF).
+    */
+  private def robotsAllowCol(url: org.apache.spark.sql.Column,
+      allow: org.apache.spark.sql.Column,
+      dis: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dis.isNull || graft.functions.RobotsFunctions.robots_allowed(
+      url, coalesce(allow, typedLit(Seq.empty[String])), dis)
 
   /** Gate candidate entries through the robots table (host join + RFC 9309
     * longest-match). A host absent from `robots` is allowed — by
@@ -196,7 +215,7 @@ object CrawlEngine {
     import spark.implicits._
     cands.toDF()
       .join(robots.toDF().select($"host", $"allow", $"disallow"), Seq("host"), "left")
-      .filter(robotsAllowUdf(col("url"), col("allow"), col("disallow")))
+      .filter(robotsAllowCol(col("url"), col("allow"), col("disallow")))
       .select(feCols: _*)
       .as[FrontierEntry]
   }
@@ -229,6 +248,24 @@ object CrawlEngine {
     fr.mapPartitions(bounded _)
       .groupByKey(_.host)
       .flatMapGroups((_: String, es: Iterator[FrontierEntry]) => bounded(es))
+  }
+
+  /** The J4 fetch join: drained keys (url, depth) vs `pages(url, html)`.
+    * html bytes dominate the row size, so html must NEVER cross a shuffle:
+    * below the broadcast limit the (small) drained keys broadcast and the
+    * pages scan streams; above it (`broadcastKeys = false`, production
+    * rounds >2M urls) the caller must supply a `url`-BUCKETED pages table
+    * ([[graft.sources.PagesTable]]) — its scan reports HashPartitioning on
+    * url, so the sort-merge join shuffles only the drained keys into the
+    * matching bucket partitions (AQE skew handling still applies to that
+    * side). Plan evidence: `graft.tools.FetchJoinScale`.
+    */
+  def fetchJoin(drainedSide: DataFrame, pages: DataFrame,
+      broadcastKeys: Boolean): DataFrame = {
+    val pagesSide = pages.select(col("url"), col("html"))
+    (if (broadcastKeys) pagesSide.join(broadcast(drainedSide), Seq("url"))
+     else drainedSide.join(pagesSide, Seq("url")))
+      .select(col("url"), col("depth"), col("html"))
   }
 
   /** Everything one round hands back to the commit path. */
@@ -319,16 +356,8 @@ object CrawlEngine {
     val drainedKeys = drained.select($"url_hash")
 
     // --- "fetch" (J4): drained ⨝ pages on url ---
-    // html bytes dominate the row size: broadcast the (small) drained keys
-    // and stream the pages scan so no html ever crosses a shuffle; beyond
-    // the broadcast limit fall back to a shuffled join (AQE skew handling)
-    val drainedSide = drained.select($"url", $"depth")
-    val fetched = (
-      if (cfg.roundSize <= cfg.broadcastDrainLimit)
-        pages.select($"url", $"html").join(broadcast(drainedSide), Seq("url"))
-      else
-        drainedSide.join(pages.select($"url", $"html"), Seq("url")))
-      .select($"url", $"depth", $"html")
+    val fetched = fetchJoin(drained.select($"url", $"depth"), pages,
+      broadcastKeys = cfg.roundSize <= cfg.broadcastDrainLimit)
       .as[(String, Int, Array[Byte])]
 
     // --- fused detect/extract map (3.1): ONE narrow map, no shuffle ---
@@ -354,18 +383,6 @@ object CrawlEngine {
         scala.collection.immutable.ArraySeq.unsafeWrapArray(canon),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(hosts))
     }.persist()
-
-    // materialize outputs now: one combined agg job for (fetched, extracted);
-    // everything downstream reads the persisted outputs. The drained count is
-    // deliberately NOT a separate job barrier before this: the fetch join's
-    // broadcast build materializes the persisted `drained`, so counting it
-    // afterwards reads the cache.
-    val (fetchedTotal, extractedTotal) = timed("fetch+detect")(outputs
-      .agg(count(lit(1)), coalesce(sum($"n_rows"), lit(0L)))
-      .as[(Long, Long)].head())
-    val drainedTotal =
-      if (wholeFrontier) frontierSize else timed("drain")(drained.count())
-    val politenessDeferred = frontierSize - drainedTotal
 
     // --- candidates (C2): explode pre-canonicalized links (hash-only),
     // allow-domains filter ---
@@ -405,9 +422,9 @@ object CrawlEngine {
     // Host discovery aggregates the DEDUPED set: its url_hash dedup exchange
     // is byte-identical to the probe branch's, so ReuseExchange materializes
     // the shuffle once for both — the discovery branch costs one small host
-    // agg, not a second pass over the raw link volume.
-    val candHosts = dedupedCands.groupBy($"host")
-      .agg(min(substring_index($"url", "://", 1)).as("scheme"))
+    // agg, not a second pass over the raw link volume. (The robots fetch
+    // joins by host, so no scheme needs reconstructing here.)
+    val candHosts = dedupedCands.select($"host").distinct()
     val newHosts = candHosts.join(robots.select($"host"), Seq("host"), "left_anti")
     // NO job barrier here: the robots fetch is a SUBPLAN of the probe-chain
     // job (its result is persisted as a side effect of that job); the
@@ -420,21 +437,6 @@ object CrawlEngine {
     // in-memory relation instead of re-planning the union+fetch subtree
     val robotsAll = robots.union(robotsDelta).persist()
     val allowedCands = applyRobots(dedupedCands, robotsAll)
-
-    // detailed counters — ONE extra job when lineageDetail is on: the cached
-    // deduped set (with multiplicities) joined to robots yields raw, deduped
-    // and allowed counts in a single aggregation
-    val (nRawCands, dedupedInRound, robotsBlocked) =
-      if (cfg.lineageDetail) {
-        val (raw, deduped, allowed) = dedupedWithDups
-          .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
-            Seq("host"), "left")
-          .agg(coalesce(sum($"dups"), lit(0L)), count(lit(1)),
-            coalesce(sum(when(robotsAllowUdf($"url", $"allow", $"disallow"), 1L)
-              .otherwise(0L)), lit(0L)))
-          .as[(Long, Long, Long)].head()
-        (raw, raw - deduped, deduped - allowed)
-      } else (-1L, -1L, -1L)
 
     // --- crawl-delay bookkeeping: hosts drained this round whose robots
     // Crawl-delay exceeds one round close their politeness window ---
@@ -469,9 +471,51 @@ object CrawlEngine {
       .select(feCols: _*)
       .as[FrontierEntry]
     val newEntries = definiteNew.union(fpNew).persist()
-    val nNew = timed("probe+new")(newEntries.count())
-    // cache-read: materialized inside the probe job above
-    val nNewHosts = robotsDelta.count()
+
+    // --- ONE combined counters job (r4, round-3 verdict #1): every counter
+    // the commit path needs — fetched/extracted, drained, new urls, new
+    // hosts, and (detail mode) raw/deduped/allowed candidates — reads in a
+    // SINGLE union-agg action. The branches share the round's persisted
+    // datasets (drained, outputs, probe chain, robots fetch), so this job
+    // both materializes every cache and collects every count; the round's
+    // only pre-commit job barrier, where round 3 paid three serial ones.
+    val counterBranches = Seq(
+      Some(outputs.toDF().select(lit(0).as("src"),
+        coalesce($"n_rows".cast("long"), lit(0L)).as("a"), lit(0L).as("b"))),
+      Some(newEntries.toDF().select(lit(1).as("src"), lit(0L).as("a"),
+        lit(0L).as("b"))),
+      Some(robotsDelta.toDF().select(lit(2).as("src"), lit(0L).as("a"),
+        lit(0L).as("b"))),
+      if (wholeFrontier) None
+      else Some(drained.toDF().select(lit(3).as("src"), lit(0L).as("a"),
+        lit(0L).as("b"))),
+      if (!cfg.lineageDetail) None
+      else Some(dedupedWithDups
+        .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
+          Seq("host"), "left")
+        .select(lit(4).as("src"), $"dups".as("a"),
+          when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
+            .otherwise(0L).as("b")))
+    ).flatten
+    val counters: Map[Int, (Long, Long, Long)] =
+      timed("counters")(counterBranches.reduce(_.union(_))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
+        .as[(Int, Long, Long, Long)].collect())
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def counter(src: Int): (Long, Long, Long) =
+      counters.getOrElse(src, (0L, 0L, 0L))
+    val (fetchedTotal, extractedTotal) = (counter(0)._1, counter(0)._2)
+    val nNew = counter(1)._1
+    val nNewHosts = counter(2)._1
+    val drainedTotal = if (wholeFrontier) frontierSize else counter(3)._1
+    val politenessDeferred = frontierSize - drainedTotal
+    val (nRawCands, dedupedInRound, robotsBlocked) =
+      if (!cfg.lineageDetail) (-1L, -1L, -1L)
+      else {
+        val (deduped, raw, allowed) = counter(4)
+        (raw, raw - deduped, deduped - allowed)
+      }
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
     // append-only delta: ONLY the newly-enqueued urls (the full seen set is
@@ -545,8 +589,12 @@ object CrawlEngine {
       if (rebuildSizes.isEmpty) folded.map(_._1)
       else {
         val sizesBc = spark.sparkContext.broadcast(rebuildSizes)
-        val buckets = rebuildSizes.keySet
-        val rebuilt = seenAll.filter(s => buckets.contains(s.bucket))
+        // COLUMN predicate, not a closure: the seen table is laid out
+        // partitioned by bucket (SnapshotStore partitionCols), so the IN
+        // list prunes at file listing — a rebuild reads only the overfull
+        // buckets' files, O(bucket) not O(seen) (round-3 verdict #2)
+        val rebuilt = seenAll
+          .where(col("bucket").isin(rebuildSizes.keySet.toSeq: _*))
           .groupByKey(_.bucket)
           .mapGroups { (b, it) =>
             val f = CuckooFilter.rebuild(it.map(_.url_hash),
@@ -560,6 +608,37 @@ object CrawlEngine {
     out.count()
     folded.unpersist()
     out
+  }
+
+  /** Read seen-table delta dirs in canonical (bucket, url_hash) column order.
+    * The on-disk layout is hive-partitioned by `bucket` (the partition column
+    * lands LAST on read) while in-memory deltas are case-class-ordered, and
+    * Dataset union is positional — so every read normalizes the order here.
+    * A dir list with zero data files (a bootstrap that admitted no seeds
+    * writes an empty partitioned table = no parquet footers) reads as an
+    * empty Dataset instead of failing schema inference.
+    */
+  def readSeenDirs(spark: SparkSession, dirs: Seq[String]): Dataset[SeenEntry] = {
+    import spark.implicits._
+    // one relation PER dir, then union: a zero-row delta commits a
+    // root-level schema file while non-empty deltas commit bucket=N subdirs,
+    // and multi-root partition discovery refuses that mix; per-dir reads
+    // also keep bucket-pruning per relation (filters push through Union)
+    val dfs = dirs.flatMap { d =>
+      try {
+        val df = spark.read.parquet(d)
+        val withBucket =
+          if (df.columns.contains("bucket")) df
+          else df.withColumn("bucket", lit(0)) // empty-delta schema artifact
+        Some(withBucket.select(col("bucket").cast("int").as("bucket"),
+          col("url_hash")))
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toLowerCase.contains("schema") => None
+      }
+    }
+    if (dfs.isEmpty) spark.emptyDataset[SeenEntry]
+    else dfs.reduce(_.union(_)).as[SeenEntry]
   }
 
   /** Current frontier = union of add-deltas minus drained-key tombstones. */
@@ -631,11 +710,14 @@ object CrawlEngine {
     // an empty frontier and "succeed" with zero rounds
     existing.foreach { m =>
       if (m.dataDirs.contains("frontier") || !m.counters.contains("frontier_size") ||
-          !m.dataDirs.contains("robots"))
+          !m.dataDirs.contains("robots") || !m.counters.contains("max_delay_ms"))
         throw new IllegalStateException(
           s"incompatible legacy snapshot format in $stateDir (expected the " +
-            "delta format: frontier_adds/frontier_rm/robots tables + " +
-            "frontier_size counter); re-bootstrap into a fresh state dir")
+            "delta format: frontier_adds/frontier_rm/robots tables, " +
+            "frontier_size counter, and the r4 bucket-partitioned seen " +
+            "layout marked by the max_delay_ms counter — mixing flat and " +
+            "partitioned seen dirs in one read would conflict); " +
+            "re-bootstrap into a fresh state dir")
     }
     var manifest: SnapshotStore.Manifest = existing
       .getOrElse {
@@ -654,8 +736,7 @@ object CrawlEngine {
           .persist()
         // robots for the seed hosts, fetched from the pages source; seeds are
         // gated like any candidate (scrapy filters start_urls at fetch time)
-        val seedHosts = seedDeduped.groupBy($"host")
-          .agg(min(substring_index($"url", "://", 1)).as("scheme"))
+        val seedHosts = seedDeduped.select($"host").distinct()
         val robots0 = fetchRobots(spark, seedHosts, robotsSrc, cfg.userAgent).persist()
         val seedFrontier = applyRobots(seedDeduped, robots0).persist()
         val nSeeds = seedFrontier.count()
@@ -670,6 +751,8 @@ object CrawlEngine {
             math.max(cap, 2L * keys.length))
           FilterState(b, f.toBytes, f.size)
         }
+        val maxDelay0 = robots0
+          .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head()
         val m = SnapshotStore.commit(stateDir, 0,
           Map("filters" -> filters0.toDF()),
           Map("round" -> -1L, "fetched" -> 0L, "extracted" -> 0L,
@@ -677,14 +760,16 @@ object CrawlEngine {
             "frontier_size" -> nSeeds,
             "frontier_rm_size" -> 0L,
             "filters_folded_dirs" -> 1L, "pending_keys" -> 0L,
-            "delay_rows" -> 0L),
+            "delay_rows" -> 0L,
+            "max_delay_ms" -> maxDelay0),
           deltas = Map(
             "frontier_adds" -> (seedFrontier.toDF(), Seq.empty),
             "frontier_rm" -> (spark.emptyDataset[SeenEntry].toDF()
               .select($"url_hash"), Seq.empty),
             "seen" -> (seedSeen.toDF(), Seq.empty),
             "robots" -> (robots0.toDF(), Seq.empty),
-            "lineage" -> (spark.emptyDataset[LineageRow].toDF(), Seq.empty)))
+            "lineage" -> (spark.emptyDataset[LineageRow].toDF(), Seq.empty)),
+          partitionCols = Map("seen" -> Seq("bucket")))
         seedDeduped.unpersist(); seedFrontier.unpersist(); robots0.unpersist()
         m
       }
@@ -701,22 +786,26 @@ object CrawlEngine {
       SnapshotStore.dirsOf(manifest, "seen").length.toLong).toInt
     var pendingKeys = manifest.counters.getOrElse("pending_keys", 0L)
     var delayRows = manifest.counters.getOrElse("delay_rows", 0L)
-    // crawl-delay fast path: one tiny agg per run (re-checked only when new
+    // crawl-delay fast path: a manifest counter (re-checked only when new
     // robots rows land) decides whether any host can EVER be delay-blocked —
-    // a corpus whose delays all fit inside one round pays zero per-round cost
-    var maxDelay = SnapshotStore.read(spark, manifest, "robots")
-      .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head()
+    // a corpus whose delays all fit inside one round pays zero per-round
+    // cost, and resuming reads the counter instead of running an agg job
+    // (legacy snapshots without the counter fall back to the agg once)
+    var maxDelay = manifest.counters.getOrElse("max_delay_ms",
+      SnapshotStore.read(spark, manifest, "robots")
+        .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head())
 
     var continue = true
     while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
       val frontier = readFrontier(spark, manifest)
       val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
-      val seen = SnapshotStore.read(spark, manifest, "seen").as[SeenEntry]
+      val seen = readSeenDirs(spark, seenDirs)
       val filters = SnapshotStore.read(spark, manifest, "filters").as[FilterState]
       val robots = SnapshotStore.read(spark, manifest, "robots").as[RobotsEntry]
       val pendingDirs = seenDirs.drop(foldedDirs)
       val pendingSeen =
-        if (pendingDirs.isEmpty) None else Some(spark.read.parquet(pendingDirs: _*))
+        if (pendingDirs.isEmpty) None
+        else Some(readSeenDirs(spark, pendingDirs).toDF())
       val delayActive = maxDelay > cfg.roundTimeMs
       val blockedHosts: Option[DataFrame] =
         if (delayActive && delayRows > 0 && manifest.dataDirs.contains("host_next_ok"))
@@ -803,23 +892,25 @@ object CrawlEngine {
         val foldedDirsAfter = if (doFold) seenDirs.length + 1 else foldedDirs
         val pendingAfter = if (doFold) 0L else newPending
         val delayRowsAfter = delayTable.map(_._2).getOrElse(delayRows)
+        if (r.nNewHosts > 0)
+          maxDelay = math.max(maxDelay, r.robotsDelta
+            .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head())
         manifest = timed("commit")(SnapshotStore.commit(stateDir, roundNo + 1, tables,
           Map("round" -> roundNo.toLong, "fetched" -> fetchedTotal,
             "extracted" -> extractedTotal, "seen" -> seenTotal,
             "frontier_size" -> frontierSize, "frontier_rm_size" -> rmSize,
             "filters_folded_dirs" -> foldedDirsAfter.toLong,
             "pending_keys" -> pendingAfter,
-            "delay_rows" -> delayRowsAfter),
+            "delay_rows" -> delayRowsAfter,
+            "max_delay_ms" -> maxDelay),
           deltas = frontierDeltas ++ robotsDeltas ++ Map(
             "seen" -> (r.seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")),
             "lineage" -> (r.lineage.toDF(), SnapshotStore.dirsOf(manifest, "lineage"))),
-          carry = carry))
+          carry = carry,
+          partitionCols = Map("seen" -> Seq("bucket"))))
         foldedDirs = foldedDirsAfter
         pendingKeys = pendingAfter
         delayRows = delayRowsAfter
-        if (r.nNewHosts > 0)
-          maxDelay = math.max(maxDelay, r.robotsDelta
-            .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head())
         folded.foreach(_.unpersist())
         delayTable.foreach(_._1.unpersist())
         r.caches.foreach(_.unpersist())

@@ -202,7 +202,9 @@ object ExpectedDetect {
     def allowed(u: String): Boolean = rules.get(UrlOps.hostOf(u)) match {
       case None => true
       case Some((alw, dis, _)) =>
-        graft.frontier.Robots.allowed(UrlOps.parse(u).path, alw, dis)
+        // path+query, like the engine's robots gate (RFC 9309 §2.2.2)
+        graft.frontier.Robots.allowed(
+          UrlOps.pathQueryOfCanonical(UrlOps.canonicalize(u)), alw, dis)
     }
 
     // frontier entries: (depth, canon url); drain order = (depth asc, url asc)
@@ -308,11 +310,16 @@ object ExpectedDetect {
   /** Oracle SQL for the fixture-oracled queries: DuckDB reads the expected
     * parquet directly (closed-form tables, not produced by the engine).
     */
+  /** The fixture-oracled query names — stable even when the expected tables
+    * are absent (the degrade path emits failing sentinels under these names
+    * so a broken fixture setup FAILS the round instead of shrinking it).
+    */
+  val names: Seq[String] = Seq("c1_detect_lists", "c2_extract_rows",
+    "c3_text_parity", "c4_pagination", "c5_crawl_rounds", "c6_highlight",
+    "c7_links", "c8_books_extract")
+
   def oracleSql: Map[String, String] = {
     val dir = outputDir
-    val names = Seq("c1_detect_lists", "c2_extract_rows", "c3_text_parity",
-      "c4_pagination", "c5_crawl_rounds", "c6_highlight", "c7_links",
-      "c8_books_extract")
     val missing = names.filterNot(n => new java.io.File(s"$dir/$n").isDirectory)
     require(missing.isEmpty,
       s"expected tables absent under $dir (run ExpectedDetect.writeAll from " +

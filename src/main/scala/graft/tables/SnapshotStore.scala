@@ -91,20 +91,36 @@ object SnapshotStore {
     * (';'-joined), so a snapshot never rewrites the accumulated history —
     * at 10^10-url scale the seen set and lineage MUST be append-only.
     */
+  /** `partitionCols`: tables/deltas written with a hive-style partition
+    * layout (e.g. the seen table partitioned by `bucket`, so a cuckoo
+    * rebuild's `bucket IN (...)` predicate prunes at file listing and reads
+    * only the overfull buckets' files — round-3 verdict #2). The write
+    * repartitions by the partition columns first so each delta lands as one
+    * file per partition value instead of nTasks x nValues fragments.
+    */
   def commit(tableDir: String, version: Int, tables: Map[String, DataFrame],
       counters: Map[String, Long],
       deltas: Map[String, (DataFrame, Seq[String])] = Map.empty,
-      carry: Map[String, Seq[String]] = Map.empty): Manifest = {
+      carry: Map[String, Seq[String]] = Map.empty,
+      partitionCols: Map[String, Seq[String]] = Map.empty): Manifest = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions.col
+    def write(name: String, df: DataFrame, dir: String): Unit =
+      partitionCols.get(name) match {
+        case Some(cols) =>
+          df.repartition(cols.map(col): _*).write.mode("overwrite")
+            .partitionBy(cols: _*).parquet(dir)
+        case None => df.write.mode("overwrite").parquet(dir)
+      }
     val writes = tables.toSeq.map { case (name, df) =>
       val dir = Paths.get(tableDir, "data", s"v$version", name).toString
-      Future { df.write.mode("overwrite").parquet(dir); name -> dir }
+      Future { write(name, df, dir); name -> dir }
     } ++ deltas.toSeq.map { case (name, (df, prevDirs)) =>
       val dir = Paths.get(tableDir, "data", s"v$version", name).toString
       Future {
-        df.write.mode("overwrite").parquet(dir)
+        write(name, df, dir)
         name -> (prevDirs :+ dir).mkString(";")
       }
     }

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.frontier.{CrawlConfig, CrawlEngine}
+import graft.frontier.{CrawlConfig, CrawlEngine, FilterState}
 import graft.tables.{SnapshotStore, SyntheticWeb}
 
 /** Evidence tool for the round-3 frontier-scale claims (VERDICT r2 next #1/#2):
@@ -51,14 +51,17 @@ object FrontierScale {
     val stateDir = graft.util.TempDirs.create(s"graft-fscale-$nPages-").toString
     CrawlEngine.run(spark, pages, seeds, cfg, stateDir, collectOutputs = false)
     val m = SnapshotStore.latestManifest(stateDir).get
-    val perCommit = (1 to m.version).flatMap { v =>
-      scala.util.Try(SnapshotStore.readManifest(stateDir, v)).toOption.map { mv =>
-        val fb = dirBytes(Paths.get(stateDir, "data", s"v$v", "filters"))
-        val prev = SnapshotStore.readManifest(stateDir, v - 1)
-        val newKeys = mv.counters("seen") - prev.counters("seen")
-        (fb, newKeys)
-      }
+    // iterate the manifests actually present and diff ADJACENT ones — an
+    // idle crawl-delay round leaves a version gap, so assuming consecutive
+    // v-1 would throw (round-3 ADVICE)
+    val present = (0 to m.version).flatMap { v =>
+      scala.util.Try(SnapshotStore.readManifest(stateDir, v)).toOption
     }
+    val perCommit = present.sliding(2).collect { case Seq(prev, mv) =>
+      val fb = dirBytes(Paths.get(stateDir, "data", s"v${mv.version}", "filters"))
+      val newKeys = mv.counters("seen") - prev.counters("seen")
+      (fb, newKeys)
+    }.toSeq
     pages.unpersist()
     (perCommit, m.counters("seen"))
   }
@@ -105,8 +108,43 @@ object FrontierScale {
     val bootSeen = mBoot.counters("seen")
     val filterBytes10m = dirBytes(Paths.get(bootDir, "data", "v0", "filters"))
 
+    // ---- part 3 (r4): rebuild bucket-pruning — a fold that rebuilds ONE
+    // overfull bucket must read O(that bucket's files), not O(seen). The
+    // seen table is committed bucket-partitioned; the rebuild predicate is a
+    // column IN-list, so partition pruning bounds the scan. Evidence:
+    // task-level bytesRead during foldFilters vs the table's total bytes.
+    val seenDir = graft.util.TempDirs.create("graft-rebuildscale-").toString
+    val nKeys = 2000000L
+    val seenDf = spark.range(0, nKeys, 1, 32)
+      .select((col("id") % 32).cast("int").as("bucket"),
+        xxhash64(col("id")).as("url_hash"))
+    SnapshotStore.commit(seenDir, 0, Map.empty, Map.empty,
+      deltas = Map("seen" -> (seenDf, Seq.empty)),
+      partitionCols = Map("seen" -> Seq("bucket")))
+    val m3 = SnapshotStore.latestManifest(seenDir).get
+    val seenAll = CrawlEngine.readSeenDirs(spark, SnapshotStore.dirsOf(m3, "seen"))
+    val pending = seenAll.where(col("bucket") === 0).as[graft.frontier.SeenEntry]
+    val totalSeenBytes = dirBytes(Paths.get(seenDir, "data", "v0", "seen"))
+    val bucket0Bytes = dirBytes(Paths.get(seenDir, "data", "v0", "seen", "bucket=0"))
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val folded = CrawlEngine.foldFilters(spark, spark.emptyDataset[FilterState],
+      pending, seenAll, 4096)
+    val rebuiltBuckets = folded.collect().map(_.bucket).toSeq
+    Thread.sleep(3000) // let the listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    folded.unpersist()
+    require(rebuiltBuckets == Seq(0), s"expected one rebuilt bucket, got $rebuiltBuckets")
+    val foldRead = bytesRead.get()
+    val readFrac = foldRead.toDouble / math.max(1L, totalSeenBytes)
+
     val json =
-      f"""{"filter_writes_1x":{"pages":8000,"seen":$seen1,"total_filter_bytes":$b1,"new_keys":$n1,"fold_commits":$f1,"bytes_per_new_key":$bpk1%.2f,"per_commit":[${w1.map(t => s"[${t._1},${t._2}]").mkString(",")}]},"filter_writes_10x":{"pages":80000,"seen":$seen10,"total_filter_bytes":$b10,"new_keys":$n10,"fold_commits":$f10,"bytes_per_new_key":$bpk10%.2f,"per_commit":[${w10.map(t => s"[${t._1},${t._2}]").mkString(",")}]},"seed_smoke":{"seeds":$bootSeen,"bootstrap_sec":$bootSec%.1f,"driver_heap_delta_mb":${(heapAfter - heapBefore) / 1048576},"filter_table_bytes":$filterBytes10m,"filter_bytes_per_key":${f"${filterBytes10m.toDouble / math.max(1, bootSeen)}%.2f"}}}"""
+      f"""{"filter_writes_1x":{"pages":8000,"seen":$seen1,"total_filter_bytes":$b1,"new_keys":$n1,"fold_commits":$f1,"bytes_per_new_key":$bpk1%.2f,"per_commit":[${w1.map(t => s"[${t._1},${t._2}]").mkString(",")}]},"filter_writes_10x":{"pages":80000,"seen":$seen10,"total_filter_bytes":$b10,"new_keys":$n10,"fold_commits":$f10,"bytes_per_new_key":$bpk10%.2f,"per_commit":[${w10.map(t => s"[${t._1},${t._2}]").mkString(",")}]},"seed_smoke":{"seeds":$bootSeen,"bootstrap_sec":$bootSec%.1f,"driver_heap_delta_mb":${(heapAfter - heapBefore) / 1048576},"filter_table_bytes":$filterBytes10m,"filter_bytes_per_key":${f"${filterBytes10m.toDouble / math.max(1, bootSeen)}%.2f"}},"rebuild_pruning":{"seen_keys":$nKeys,"seen_bytes_total":$totalSeenBytes,"bucket0_bytes":$bucket0Bytes,"fold_bytes_read":$foldRead,"read_fraction_of_seen":$readFrac%.4f}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("BENCH"))

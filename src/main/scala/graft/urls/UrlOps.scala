@@ -224,6 +224,17 @@ object UrlOps {
     if (q < 0) url.substring(j) else url.substring(j, q)
   }
 
+  /** Path PLUS `?query` of an already-canonical url — what robots rules
+    * match against per RFC 9309 §2.2.2 ("path and query"; protego/scrapy do
+    * the same), so a `Disallow` rule with a `?sessionid=` tail can match.
+    */
+  def pathQueryOfCanonical(url: String): String = {
+    val i = url.indexOf("://")
+    if (i < 0) { val p = parse(url); return if (p.query.isEmpty) p.path else s"${p.path}?${p.query}" }
+    val j = url.indexOf('/', i + 3)
+    if (j < 0) "" else url.substring(j)
+  }
+
   def hostHash(url: String): Int = {
     val h = fnv1a64(hostOf(url))
     (h ^ (h >>> 32)).toInt

@@ -41,7 +41,9 @@ class CrawlSpec extends AnyFunSuite {
     rules.get(UrlOps.hostOf(u)) match {
       case None => true
       case Some(r) =>
-        graft.frontier.Robots.allowed(UrlOps.parse(u).path,
+        // path+query, like the engine's robots gate (RFC 9309 §2.2.2)
+        graft.frontier.Robots.allowed(
+          UrlOps.pathQueryOfCanonical(UrlOps.canonicalize(u)),
           r.allow_prefixes, r.disallow_prefixes)
     }
 
@@ -138,7 +140,8 @@ class CrawlSpec extends AnyFunSuite {
 
       // final URL-seen set: compare via hashes (engine stores hashes)
       val m = SnapshotStore.latestManifest(stateDir).get
-      val engineSeen = SnapshotStore.read(spark, m, "seen")
+      val engineSeen = CrawlEngine.readSeenDirs(spark,
+          SnapshotStore.dirsOf(m, "seen"))
         .select("url_hash").as[Long].collect().toSet
       assert(engineSeen == simSeenHashes,
         s"[$label] seen mismatch: engine=${engineSeen.size} sim=${simSeenHashes.size}")
@@ -161,8 +164,8 @@ class CrawlSpec extends AnyFunSuite {
       val restored = filters.map(f => f.bucket -> CuckooFilter.fromBytes(f.cuckoo_bytes)).toMap
       if (label != "lazy") {
         // all folds applied each round: every seen key must be IN the filter
-        val seenRows = SnapshotStore.read(spark, m, "seen")
-          .as[graft.frontier.SeenEntry].collect()
+        val seenRows = CrawlEngine.readSeenDirs(spark,
+            SnapshotStore.dirsOf(m, "seen")).collect()
         assert(seenRows.forall(s => restored(s.bucket).contains(s.url_hash)),
           s"[$label] folded filter lost a seen key")
       }
@@ -201,7 +204,8 @@ class CrawlSpec extends AnyFunSuite {
       spark.createDataset(SyntheticWeb.seedUrls(nHosts)), cfg, stateDir)
     val (simSeen, simDrains) = simulate()
     val m = SnapshotStore.latestManifest(stateDir).get
-    val engineSeen = SnapshotStore.read(spark, m, "seen")
+    val engineSeen = CrawlEngine.readSeenDirs(spark,
+        SnapshotStore.dirsOf(m, "seen"))
       .select("url_hash").as[Long].collect().toSet
     assert(engineSeen == simSeen.map(UrlOps.fnv1a64))
     assert(stats.rounds == simDrains.size)
@@ -255,7 +259,8 @@ class CrawlSpec extends AnyFunSuite {
       assert(b - a >= 3, s"host0 drained in rounds $a and $b, closer than its delay")
     }
     // seen-set parity too
-    val engineSeen = SnapshotStore.read(spark, m, "seen")
+    val engineSeen = CrawlEngine.readSeenDirs(spark,
+        SnapshotStore.dirsOf(m, "seen"))
       .select("url_hash").as[Long].collect().toSet
     assert(engineSeen == simSeen.map(UrlOps.fnv1a64))
   }
@@ -296,11 +301,11 @@ class CrawlSpec extends AnyFunSuite {
     assert(resumedStats.fetched == fullStats.fetched)
     assert(resumedStats.extractedRows == fullStats.extractedRows)
     assert(resumedStats.seenSize == fullStats.seenSize)
-    val fullSeen = SnapshotStore.read(spark,
-      SnapshotStore.latestManifest(fullDir).get, "seen")
+    val fullSeen = CrawlEngine.readSeenDirs(spark, SnapshotStore.dirsOf(
+        SnapshotStore.latestManifest(fullDir).get, "seen"))
       .select("url_hash").as[Long].collect().toSet
-    val resumedSeen = SnapshotStore.read(spark,
-      SnapshotStore.latestManifest(partDir).get, "seen")
+    val resumedSeen = CrawlEngine.readSeenDirs(spark, SnapshotStore.dirsOf(
+        SnapshotStore.latestManifest(partDir).get, "seen"))
       .select("url_hash").as[Long].collect().toSet
     assert(fullSeen == resumedSeen)
   }
@@ -415,6 +420,65 @@ class CrawlSpec extends AnyFunSuite {
     // precedence with wildcard rules: longest pattern wins, Allow wins ties
     assert(!allowed("/files/secret.pdf", Seq("/files"), Seq("/files/*.pdf$")))
     assert(allowed("/files/notes.txt", Seq("/files"), Seq("/files/*.pdf$")))
+  }
+
+  test("robots match path PLUS query (RFC 9309: query-string rules can hit)") {
+    import graft.frontier.Robots.allowed
+    // pathQueryOfCanonical keeps the ?query tail
+    assert(UrlOps.pathQueryOfCanonical("https://h.example/a/b?x=1&y=2") == "/a/b?x=1&y=2")
+    assert(UrlOps.pathQueryOfCanonical("https://h.example/a/b") == "/a/b")
+    assert(UrlOps.pathQueryOfCanonical("https://h.example/") == "/")
+    // a Disallow rule targeting a query parameter now matches
+    val dis = Seq("/*?*sessionid=")
+    assert(!allowed(UrlOps.pathQueryOfCanonical(
+      UrlOps.canonicalize("https://h.example/page?sessionid=5")), Seq.empty, dis))
+    assert(allowed(UrlOps.pathQueryOfCanonical(
+      UrlOps.canonicalize("https://h.example/page")), Seq.empty, dis))
+  }
+
+  test("codegen robots gate matches the reference predicate row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, typedLit}
+    val urls = Seq(
+      "https://h.example/", "https://h.example/private/x",
+      "https://h.example/public/ok", "https://h.example/p?sessionid=9",
+      "https://h.example/files/doc.pdf", "https://h.example/files/doc.txt")
+    val allow = Seq("/public")
+    val dis = Seq("/private", "/*?*sessionid=", "/files/*.pdf$")
+    val df = urls.toDF("url")
+      .withColumn("allow", typedLit(allow))
+      .withColumn("disallow", typedLit(dis))
+    val got = df.filter(graft.functions.RobotsFunctions.robots_allowed(
+        col("url"), col("allow"), col("disallow")))
+      .select("url").as[String].collect().toSet
+    val want = urls.filter(u => graft.frontier.Robots.allowed(
+      UrlOps.pathQueryOfCanonical(u), allow, dis)).toSet
+    assert(got == want)
+    assert(want.contains("https://h.example/public/ok"))
+    assert(!want.contains("https://h.example/p?sessionid=9"))
+    assert(!want.contains("https://h.example/files/doc.pdf"))
+  }
+
+  test("robots fetch joins by HOST: an http-discovered host finds its https robots row") {
+    import spark.implicits._
+    val body = "User-agent: *\nDisallow: /blocked\n"
+    val robotsSrc = Seq(
+      ("https://h1.example/robots.txt",
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      // h2 carries BOTH schemes: https (max) must win deterministically
+      ("http://h2.example/robots.txt",
+        "User-agent: *\nDisallow: /http-only\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      ("https://h2.example/robots.txt",
+        "User-agent: *\nDisallow: /https-wins\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ).toDF("url", "html")
+    val hosts = Seq("h1.example", "h2.example", "h3.example").toDF("host")
+    val got = CrawlEngine.fetchRobots(spark, hosts, robotsSrc, "graftbot")
+      .collect().map(r => r.host -> r.disallow).toMap
+    assert(got("h1.example") == Seq("/blocked")) // found despite scheme mismatch
+    assert(got("h2.example") == Seq("/https-wins"))
+    assert(got("h3.example") == Seq.empty) // 404 negative cache: allow-all
   }
 
   test("robots filter blocks disallowed prefixes") {
