@@ -138,4 +138,12 @@ object SnapshotStore {
 
   def read(spark: SparkSession, m: Manifest, name: String): DataFrame =
     spark.read.parquet(dirsOf(m, name): _*)
+
+  /** Read with a CALLER-PINNED schema: skips the driver-side footer read
+    * that schema inference costs on every open — the engine re-opens its
+    * state tables every round, so these add up at high round rates.
+    */
+  def read(spark: SparkSession, m: Manifest, name: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(dirsOf(m, name): _*)
 }

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+import graft.frontier.{CrawlConfig, CrawlEngine}
+import graft.tables.SyntheticWeb
+
+/** Per-stage profiler for the multi-round crawl: prints, for each stage,
+  * wall duration, summed task time, and the RDD-scope name — to localize the
+  * per-round fixed cost the 8-round bench figure pays (driver plan time
+  * shows up as job wall minus task time).
+  */
+object RoundProf {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val nPages = sys.env.getOrElse("GRAFT_PROF_PAGES", "20000").toInt
+    val rounds = sys.env.getOrElse("GRAFT_PROF_ROUNDS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROF_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nHosts = 16
+    val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, cpus * 2)
+      .union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
+    pages.count()
+    val cuts = SyntheticWeb.fastCuts(nPages.toLong, nHosts)
+    val cutsBc = spark.sparkContext.broadcast(cuts)
+    val seeds = spark.range(0, nPages.toLong, 1, cpus * 2).map { i =>
+      val c = cutsBc.value
+      var host = java.util.Arrays.binarySearch(c, i)
+      if (host < 0) host = -host - 2
+      if (host >= nHosts) host = nHosts - 1
+      SyntheticWeb.pageUrl(host, i - c(host))
+    }
+    val hostMax = (1 until (nHosts + 1)).map(h => cuts(h) - cuts(h - 1)).max.toInt
+    val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
+      roundSize = (nPages + rounds - 1) / rounds, maxRounds = rounds + 2,
+      lineageDetail = false)
+
+    // warm
+    CrawlEngine.run(spark, pages, seeds.limit(5000), cfg.copy(roundSize = 5000,
+      maxRounds = 2), graft.util.TempDirs.create("graft-prof-warm-").toString,
+      collectOutputs = false)
+
+    final case class StageRow(id: Int, name: String, wallMs: Long, taskMs: Long,
+      tasks: Int)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageRow]()
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val listener = new SparkListener {
+      private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobStart.put(j.jobId, (j.time,
+          Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        val s = jobStart.get(j.jobId)
+        if (s != null) jobs.add((j.jobId, j.time - s._1, s._2.take(60)))
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield a - b).getOrElse(-1L)
+        stages.put(si.stageId, StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(80),
+          wall, si.taskMetrics.executorRunTime, si.numTasks))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val stateDir = graft.util.TempDirs.create("graft-prof-").toString
+    val t0 = System.nanoTime()
+    CrawlEngine.run(spark, pages, seeds, cfg, stateDir, collectOutputs = false)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(3000)
+    spark.sparkContext.removeSparkListener(listener)
+
+    import scala.jdk.CollectionConverters._
+    val rows = stages.values.asScala.toSeq.sortBy(-_.wallMs)
+    println(f"TOTAL wall ${wall}%.1f s  pages $nPages rounds ~$rounds")
+    val totalStageWall = rows.map(_.wallMs).sum
+    val totalTask = rows.map(_.taskMs).sum
+    println(f"sum stage wall ${totalStageWall / 1000.0}%.1f s; sum task time ${totalTask / 1000.0}%.1f s (/$cpus cores = ${totalTask / 1000.0 / cpus}%.1f s)")
+    println("---- top stages by wall ----")
+    rows.take(25).foreach(r =>
+      println(f"stage ${r.id}%4d wall ${r.wallMs}%6d ms task ${r.taskMs}%7d ms n=${r.tasks}%3d  ${r.name}"))
+    println("---- jobs ----")
+    val js = jobs.asScala.toSeq.sortBy(_._1)
+    println(f"jobs: ${js.size}; total job wall ${js.map(_._2).sum / 1000.0}%.1f s")
+    js.sortBy(-_._2).take(15).foreach { case (id, ms, d) =>
+      println(f"job $id%4d wall $ms%6d ms  $d") }
+    spark.stop()
+  }
+}
