@@ -28,13 +28,21 @@ object Bench {
     } finally s.close()
   }
 
-  private def session(cpus: Int): SparkSession = {
+  /** `aqe = false` for the crawl sessions: at bounded round sizes every
+    * join the round runs is explicitly broadcast (drain keys, fetch keys,
+    * robots) or statically planned, and AQE's per-exchange stage
+    * materialization adds ~15 driver jobs per round — pure scheduling
+    * latency at this scale (measured: ~25% of multi-round wall). Production
+    * rounds above `broadcastDrainLimit` want AQE back on for skew handling;
+    * the engine itself is config-neutral (specs run with AQE on).
+    */
+  private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // keep the global StateStore maintenance thread from ticking against a
@@ -59,7 +67,7 @@ object Bench {
     */
   private def crawlThroughput(cpus: Int, nPages: Int, nHosts: Int,
       trials: Int = 2, multiRounds: Int = 8): Thr = {
-    val spark = session(cpus)
+    val spark = session(cpus, aqe = false)
     try {
       import spark.implicits._
       val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt

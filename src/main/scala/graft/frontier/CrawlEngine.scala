@@ -363,7 +363,12 @@ object CrawlEngine {
             .orderBy(desc("priority"), asc("depth"), asc("url"))
             .limit(cfg.roundSize)
             .select($"url_hash")
-          eligible.join(drainKeys, Seq("url_hash"), "left_semi")
+          // explicit broadcast: k 8-byte keys (16 MB even at a 2M-url
+          // round) — the semi-join must never shuffle the frontier
+          val keysSide =
+            if (cfg.roundSize <= cfg.broadcastDrainLimit) broadcast(drainKeys)
+            else drainKeys
+          eligible.join(keysSide, Seq("url_hash"), "left_semi")
             .as[FrontierEntry]
             .persist()
         }
@@ -371,7 +376,24 @@ object CrawlEngine {
     val drainedKeys = drained.select($"url_hash")
 
     // --- "fetch" (J4): drained ⨝ pages on url ---
-    val fetched = fetchJoin(drained.select($"url", $"depth"), pages,
+    // Scan pruning from drain bounds (the Iceberg sort-key min/max analog):
+    // a PARTIAL drain covers a bounded url range under the deterministic
+    // drain order, and no page outside [min, max] can match the fetch join
+    // — so push the range as a predicate. With a url-clustered pages layout
+    // (sorted parquet row groups, or cached batches with column stats) the
+    // scan skips non-matching groups BEFORE html bytes are touched; a
+    // multi-round drain then reads each page's html ~once across the whole
+    // crawl instead of scanning the full table every round. Costs one tiny
+    // agg job (which also warms the drained cache); skipped when the round
+    // drains the whole frontier anyway.
+    val fetchPages =
+      if (frontierSize <= cfg.roundSize) pages
+      else {
+        val (lo, hi) = timed("drain-bounds")(
+          drained.agg(min($"url"), max($"url")).as[(String, String)].head())
+        pages.filter($"url" >= lo && $"url" <= hi)
+      }
+    val fetched = fetchJoin(drained.select($"url", $"depth"), fetchPages,
       broadcastKeys = cfg.roundSize <= cfg.broadcastDrainLimit)
       .as[(String, Int, Array[Byte])]
 
