@@ -67,7 +67,8 @@ object Bench {
     */
   private def crawlThroughput(cpus: Int, nPages: Int, nHosts: Int,
       trials: Int = 2, multiRounds: Int = 8): Thr = {
-    val spark = session(cpus, aqe = false)
+    val spark = session(cpus,
+      aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "false").toBoolean)
     try {
       import spark.implicits._
       val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt
