@@ -149,11 +149,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 200k pages: one round's detect work dominates the per-round fixed
-    // cost (~40x at the 4-core level), so the scaling ratio measures the
-    // pipeline, not job-scheduling constants (rounds at production scale
-    // are larger still)
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toInt
+    // 250k pages: one round's detect work dominates the per-run serial cost
+    // (~8 s measured: broadcast build + commit + stage-chain latency), so
+    // the scaling ratio measures the pipeline, not job-scheduling constants
+    // (rounds at production scale are larger still — the serial share only
+    // shrinks from here)
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "250000").toInt
     val nHosts = 16
 
     // part 1 (RUNS FIRST — before the query sweep burns the host's CPU
