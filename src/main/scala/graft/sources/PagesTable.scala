@@ -32,6 +32,19 @@ object PagesTable {
     */
   def writeBucketed(spark: SparkSession, pages: DataFrame, name: String,
       nBuckets: Int): Unit = {
+    // SaveMode.Overwrite alone is not enough when a previous run died between
+    // dropping the catalog entry and clearing the files: saveAsTable refuses a
+    // managed-table location that exists without its table. Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     pages
       .repartition(nBuckets, col("url"))
       .write
