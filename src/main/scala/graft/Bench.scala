@@ -180,9 +180,12 @@ object Bench {
     // THREE interleaved passes per scaling level: best-of-max over more
     // windows converges on the unthrottled capability of BOTH ratio sides
     // (single-window samples on this host swing +-35%)
+    // SPARK_GRAFT_BENCH_LEVELS="" → queries-only sweep (no crawl levels, no
+    // BASELINE.md rewrite) — for refreshing the per-query table without
+    // burning the host's CPU budget on a redundant scaling measurement
     val levels: Seq[(Int, Int)] =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "16:2,4:1,16:2,4:1,16:2,4:1,32:2")
-        .split(",").toSeq.map { s =>
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
           val Array(c, t) = s.split(":"); (c.trim.toInt, t.trim.toInt)
         }
     var measured = Map.empty[Int, Thr]
@@ -197,7 +200,9 @@ object Bench {
     }
     val thr16 = measured.get(16).map(_.single).getOrElse(0.0)
     val thr4 = measured.get(4).map(_.single).getOrElse(0.0)
-    val t32 = measured.getOrElse(32, measured(levels.last._1))
+    val t32 = measured.get(32)
+      .orElse(levels.lastOption.flatMap(l => measured.get(l._1)))
+      .getOrElse(Thr(0.0, 0.0, 0L))
     val (thr32, extracted32) = (t32.single, t32.extracted)
     val (multi4, multi16, multi32) = (measured.get(4).map(_.multi).getOrElse(0.0),
       measured.get(16).map(_.multi).getOrElse(0.0), t32.multi)
@@ -210,6 +215,16 @@ object Bench {
       else {
         val spark = session(cpus)
         spark.sparkContext.setLogLevel("WARN")
+        // JIT warmup at sf0.001: in the full bench the query sweep runs in a
+        // JVM already warmed by the crawl levels; a queries-only sweep must
+        // pay that compilation outside the timed section too, or the first
+        // queries alphabetically absorb it (measured: c1 0.2s warm vs 38s
+        // cold on a throttled host)
+        if (levels.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+          .foreach { case (_, fn) =>
+            try { fn(spark, "/root/testdata/sf0.001").count() }
+            catch { case _: Throwable => () }
+          }
         val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -225,8 +240,9 @@ object Bench {
     println(
       s"""{"metric":"frontier_drain_extract_urls_per_sec","value":${f"$thr32%.1f"},"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"bench_pages":$benchPages,"urls_per_sec_4":${f"$thr4%.1f"},"urls_per_sec_16":${f"$thr16%.1f"},"urls_per_sec_32":${f"$thr32%.1f"},"scaling_efficiency":${f"$eff416%.3f"},"scaling_pair":"local[4]->local[16]","urls_per_sec_multi_4":${f"$multi4%.1f"},"urls_per_sec_multi_16":${f"$multi16%.1f"},"urls_per_sec_multi_32":${f"$multi32%.1f"},"scaling_efficiency_multi":${f"$effMulti%.3f"},"multi_rounds":8,"extracted_rows":$extracted32}""")
 
-    // persist the scaling evidence (BASELINE.md protocol)
-    try {
+    // persist the scaling evidence (BASELINE.md protocol); a queries-only
+    // sweep leaves the previously-measured scaling artifact untouched
+    if (levels.nonEmpty) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       val md =

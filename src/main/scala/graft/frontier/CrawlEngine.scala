@@ -1,7 +1,7 @@
 package graft.frontier
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.urls.UrlOps
@@ -342,8 +342,22 @@ object CrawlEngine {
     // needs no ordering work when the whole frontier fits the round.
     val wholeFrontier = frontierSize <= cfg.roundSize &&
       cfg.hostBudgetPerRound >= frontierSize && delayBlockedHosts.isEmpty
+    // Round counters are NEVER dedicated count jobs: the drained count is
+    // known driver-side (whole-frontier and collected-top-k paths), read off
+    // the drain-bounds agg (over-limit path), or piggy-backed on job 1 as an
+    // Observation (politeness-limited path). fetched/extracted/new-host
+    // counts are Observations on datasets job 1 materializes anyway.
+    val drainObs = Observation()
+    val outObs = Observation()
+    val robotsObs = Observation()
+    var knownDrained: Option[Long] = None
+    var drainBounds: Option[(String, String)] = None
+    var collectedKeys: Option[DataFrame] = None
     val drained: Dataset[FrontierEntry] =
-      if (wholeFrontier) frontierEligible.persist()
+      if (wholeFrontier) {
+        knownDrained = Some(frontierSize)
+        frontierEligible.persist()
+      }
       else {
         val eligible =
           if (cfg.hostBudgetPerRound >= cfg.roundSize) frontierEligible
@@ -351,29 +365,57 @@ object CrawlEngine {
         if (frontierSize <= cfg.roundSize)
           // |eligible| <= frontierSize <= roundSize: the global top-k is the
           // identity — everything politeness admitted drains this round
-          eligible.persist()
+          eligible.observe(drainObs, count(lit(1)).as("drained")).persist()
+        else if (cfg.roundSize <= cfg.broadcastDrainLimit) {
+          // Exact top-k via ONE narrow TakeOrdered job collected to the
+          // driver — Spark would collect these keys for the semi-join
+          // broadcast anyway, so the explicit collect is free, and the
+          // array doubles as (a) the broadcast build side, (b) the url
+          // min/max for fetch-scan pruning, (c) the drained count, and
+          // (d) the frontier_rm delta rows — information that used to cost
+          // a separate bounds/count job per round. Only narrow sort keys
+          // travel: k x (hash, url).
+          val keyRows = timed("drain-keys")(eligible
+            .select($"url_hash", $"priority", $"depth", $"url")
+            .orderBy(desc("priority"), asc("depth"), asc("url"))
+            .limit(cfg.roundSize)
+            .select($"url_hash", $"url")
+            .as[(Long, String)].collect())
+          knownDrained = Some(keyRows.length.toLong)
+          if (keyRows.nonEmpty) {
+            var lo = keyRows(0)._2; var hi = lo
+            var i = 1
+            while (i < keyRows.length) {
+              val u = keyRows(i)._2
+              if (u < lo) lo = u
+              if (u > hi) hi = u
+              i += 1
+            }
+            drainBounds = Some((lo, hi))
+          }
+          val keysDs = spark.createDataset(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              keyRows.map(_._1))).toDF("url_hash")
+          collectedKeys = Some(keysDs)
+          eligible.join(broadcast(keysDs), Seq("url_hash"), "left_semi")
+            .as[FrontierEntry]
+            .persist()
+        }
         else {
-          // Exact top-k, scale-safe: a bare orderBy().limit(k) would
-          // collapse the result to ONE partition and serialize everything
-          // downstream. Instead: TakeOrdered over NARROW sort keys only,
-          // then semi-join back — the join shuffle restores parallelism and
-          // only ~k keys ever pass through a single task.
+          // above the broadcast limit the keys stay distributed: TakeOrdered
+          // over NARROW sort keys, then semi-join back — the join shuffle
+          // restores parallelism and only ~k keys pass through one task
           val drainKeys = eligible
             .select($"url_hash", $"priority", $"depth", $"url")
             .orderBy(desc("priority"), asc("depth"), asc("url"))
             .limit(cfg.roundSize)
             .select($"url_hash")
-          // explicit broadcast: k 8-byte keys (16 MB even at a 2M-url
-          // round) — the semi-join must never shuffle the frontier
-          val keysSide =
-            if (cfg.roundSize <= cfg.broadcastDrainLimit) broadcast(drainKeys)
-            else drainKeys
-          eligible.join(keysSide, Seq("url_hash"), "left_semi")
+          eligible.join(drainKeys, Seq("url_hash"), "left_semi")
             .as[FrontierEntry]
             .persist()
         }
       }
-    val drainedKeys = drained.select($"url_hash")
+    val drainedKeys = collectedKeys.getOrElse(drained.select($"url_hash"))
 
     // --- "fetch" (J4): drained ⨝ pages on url ---
     // Scan pruning from drain bounds (the Iceberg sort-key min/max analog):
@@ -383,15 +425,21 @@ object CrawlEngine {
     // (sorted parquet row groups, or cached batches with column stats) the
     // scan skips non-matching groups BEFORE html bytes are touched; a
     // multi-round drain then reads each page's html ~once across the whole
-    // crawl instead of scanning the full table every round. Costs one tiny
-    // agg job (which also warms the drained cache); skipped when the round
-    // drains the whole frontier anyway.
+    // crawl instead of scanning the full table every round. Bounds come from
+    // the collected drain keys (broadcast path) or one agg over the drained
+    // cache (over-limit path, which also yields the drained count); skipped
+    // when the round drains the whole frontier anyway.
     val fetchPages =
-      if (frontierSize <= cfg.roundSize) pages
-      else {
-        val (lo, hi) = timed("drain-bounds")(
-          drained.agg(min($"url"), max($"url")).as[(String, String)].head())
-        pages.filter($"url" >= lo && $"url" <= hi)
+      if (frontierSize <= cfg.roundSize || knownDrained.contains(0L)) pages
+      else drainBounds match {
+        case Some((lo, hi)) => pages.filter($"url" >= lo && $"url" <= hi)
+        case None =>
+          val (lo, hi, n) = timed("drain-bounds")(drained
+            .agg(min($"url"), max($"url"), count(lit(1)))
+            .as[(String, String, Long)].head())
+          knownDrained = Some(n)
+          if (n == 0L) pages.limit(0)
+          else pages.filter($"url" >= lo && $"url" <= hi)
       }
     val fetched = fetchJoin(drained.select($"url", $"depth"), fetchPages,
       broadcastKeys = cfg.roundSize <= cfg.broadcastDrainLimit)
@@ -419,7 +467,9 @@ object CrawlEngine {
         det.pagination.map(_.nextUrl).orNull,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(canon),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(hosts))
-    }.persist()
+    }.observe(outObs, count(lit(1)).as("fetched"),
+      sum($"n_rows".cast("long")).as("extracted"))
+      .persist()
 
     // --- candidates (C2): explode pre-canonicalized links (hash-only),
     // allow-domains filter ---
@@ -468,7 +518,9 @@ object CrawlEngine {
     // new-host count — needed only for the commit's delta-vs-carry decision —
     // reads the cache afterwards
     val robotsDelta: Dataset[RobotsEntry] =
-      fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
+      fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent)
+        .observe(robotsObs, count(lit(1)).as("new_hosts"))
+        .persist()
     // persisted: every job this round that references the rules (probe
     // chain, detail counters, delay bookkeeping) plans against the tiny
     // in-memory relation instead of re-planning the union+fetch subtree
@@ -509,57 +561,55 @@ object CrawlEngine {
       .as[FrontierEntry]
     val newEntries = definiteNew.union(fpNew).persist()
 
-    // --- TWO pre-commit job barriers per round (r4, round-3 verdict #1;
-    // was three-to-four in r3). Job 1 materializes the LINEAR probe chain —
-    // drained (via the broadcast build) → fused detect map → candidate
-    // dedup → robots fetch+gate → cuckoo cogroup — into the round's caches.
-    // It must run ALONE and must cover the whole chain: any cached dataset
-    // first-touched by two concurrent branches of a later job is silently
-    // COMPUTED TWICE (Spark's block store races, it does not block) — seen
-    // both for the detect map (outputs) and for the probe cogroup (probed,
-    // whose two filter legs fan out in job 2).
+    // --- TWO pre-commit job barriers per round. Job 1 materializes the
+    // LINEAR probe chain — drained (via the broadcast build) → fused detect
+    // map → candidate dedup → robots fetch+gate → cuckoo cogroup — into the
+    // round's caches. It must run ALONE and must cover the whole chain: any
+    // cached dataset first-touched by two concurrent branches of a later job
+    // is silently COMPUTED TWICE (Spark's block store races, it does not
+    // block) — seen both for the detect map (outputs) and for the probe
+    // cogroup (probed, whose two filter legs fan out in job 2).
     timed("probe-chain")(probed.count())
-    // Job 2: every counter — fetched/extracted, new urls, new hosts,
-    // drained, and (detail mode) raw/deduped/allowed candidates — in ONE
-    // union-agg action; every branch reads job 1's caches, so this job is
-    // the anti-join/agg work plus scheduling latency only.
-    val counterBranches = Seq(
-      Some(outputs.toDF().select(lit(0).as("src"),
-        coalesce($"n_rows".cast("long"), lit(0L)).as("a"), lit(0L).as("b"))),
-      Some(newEntries.toDF().select(lit(1).as("src"), lit(0L).as("a"),
-        lit(0L).as("b"))),
-      Some(robotsDelta.toDF().select(lit(2).as("src"), lit(0L).as("a"),
-        lit(0L).as("b"))),
-      if (wholeFrontier) None
-      else Some(drained.toDF().select(lit(3).as("src"), lit(0L).as("a"),
-        lit(0L).as("b"))),
-      if (!cfg.lineageDetail) None
-      else Some(dedupedWithDups
-        .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
-          Seq("host"), "left")
-        .select(lit(4).as("src"), $"dups".as("a"),
-          when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
-            .otherwise(0L).as("b")))
-    ).flatten
-    val counters: Map[Int, (Long, Long, Long)] =
-      timed("counters")(counterBranches.reduce(_.union(_))
-        .groupBy($"src")
-        .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
-        .as[(Int, Long, Long, Long)].collect())
-        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    def counter(src: Int): (Long, Long, Long) =
-      counters.getOrElse(src, (0L, 0L, 0L))
-    val (fetchedTotal, extractedTotal) = (counter(0)._1, counter(0)._2)
-    val nNew = counter(1)._1
-    val nNewHosts = counter(2)._1
-    val drainedTotal = if (wholeFrontier) frontierSize else counter(3)._1
-    val politenessDeferred = frontierSize - drainedTotal
-    val (nRawCands, dedupedInRound, robotsBlocked) =
-      if (!cfg.lineageDetail) (-1L, -1L, -1L)
+    // Job 2 materializes newEntries (its anti-join legs fan out from the
+    // probed cache) and carries the one counter a plan cannot observe: nNew.
+    // Every other counter was collected DURING job 1 via the Observations
+    // above — the former five-branch union-agg job is gone. Detail mode
+    // folds its extract-stage counters (raw/deduped/robots-allowed) into
+    // the same job as a second union branch.
+    val (nNew, nRawCands, dedupedInRound, robotsBlocked) =
+      if (!cfg.lineageDetail)
+        (timed("new-count")(newEntries.count()), -1L, -1L, -1L)
       else {
-        val (deduped, raw, allowed) = counter(4)
-        (raw, raw - deduped, deduped - allowed)
+        val m: Map[Int, (Long, Long, Long)] = timed("counters")(
+          newEntries.toDF()
+            .select(lit(0).as("src"), lit(0L).as("a"), lit(0L).as("b"))
+            .union(dedupedWithDups
+              .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
+                Seq("host"), "left")
+              .select(lit(1).as("src"), $"dups".as("a"),
+                when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
+                  .otherwise(0L).as("b")))
+            .groupBy($"src")
+            .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
+            .as[(Int, Long, Long, Long)].collect())
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        val n = m.get(0).map(_._1).getOrElse(0L)
+        val (deduped, raw, allowed) = m.getOrElse(1, (0L, 0L, 0L))
+        (n, raw, raw - deduped, deduped - allowed)
       }
+    // Observation reads: all three fired during job 1 (their nodes sit on
+    // the single-consumer probe chain / below the ReuseExchange'd dedup
+    // shuffle the chain already relies on), so these never block here.
+    def metric(obs: Observation, key: String): Long =
+      obs.get.get(key) match {
+        case Some(null) | None => 0L
+        case Some(v) => v.asInstanceOf[Number].longValue()
+      }
+    val fetchedTotal = metric(outObs, "fetched")
+    val extractedTotal = metric(outObs, "extracted")
+    val nNewHosts = metric(robotsObs, "new_hosts")
+    val drainedTotal = knownDrained.getOrElse(metric(drainObs, "drained"))
+    val politenessDeferred = frontierSize - drainedTotal
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
     // append-only delta: ONLY the newly-enqueued urls (the full seen set is
@@ -843,25 +893,30 @@ object CrawlEngine {
 
     var continue = true
     while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
-      val frontier = readFrontier(spark, manifest)
-      val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
-      val seen = readSeenDirs(spark, seenDirs)
-      val filters = SnapshotStore.read(spark, manifest, "filters", filterSchema)
-        .as[FilterState]
-      val robots = SnapshotStore.read(spark, manifest, "robots", robotsSchema)
-        .as[RobotsEntry]
-      val pendingDirs = seenDirs.drop(foldedDirs)
-      val pendingSeen =
-        if (pendingDirs.isEmpty) None
-        else Some(readSeenDirs(spark, pendingDirs).toDF())
-      val delayActive = maxDelay > cfg.roundTimeMs
-      val blockedHosts: Option[DataFrame] =
-        if (delayActive && delayRows > 0 && manifest.dataDirs.contains("host_next_ok"))
-          Some(SnapshotStore.read(spark, manifest, "host_next_ok", delaySchema)
-            .filter($"next_ok_round" > roundNo).select($"host"))
-        else None
-      val r = round(spark, roundNo, frontier, frontierSize, seen, filters,
-        pendingSeen, robots, blockedHosts, delayActive, pages, robotsSrc, cfg)
+      val (frontier, seen, filters, robots, pendingSeen, blockedHosts, delayActive, seenDirs) =
+        timed("read-state") {
+          val frontier = readFrontier(spark, manifest)
+          val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
+          val seen = readSeenDirs(spark, seenDirs)
+          val filters = SnapshotStore.read(spark, manifest, "filters", filterSchema)
+            .as[FilterState]
+          val robots = SnapshotStore.read(spark, manifest, "robots", robotsSchema)
+            .as[RobotsEntry]
+          val pendingDirs = seenDirs.drop(foldedDirs)
+          val pendingSeen =
+            if (pendingDirs.isEmpty) None
+            else Some(readSeenDirs(spark, pendingDirs).toDF())
+          val delayActive = maxDelay > cfg.roundTimeMs
+          val blockedHosts: Option[DataFrame] =
+            if (delayActive && delayRows > 0 && manifest.dataDirs.contains("host_next_ok"))
+              Some(SnapshotStore.read(spark, manifest, "host_next_ok", delaySchema)
+                .filter($"next_ok_round" > roundNo).select($"host"))
+            else None
+          (frontier, seen, filters, robots, pendingSeen, blockedHosts, delayActive, seenDirs)
+        }
+      val r = timed("round-build")(round(spark, roundNo, frontier, frontierSize,
+        seen, filters, pendingSeen, robots, blockedHosts, delayActive, pages,
+        robotsSrc, cfg))
       val stats = r.stats
       if (stats.drained == 0) {
         r.caches.foreach(_.unpersist())
@@ -986,9 +1041,11 @@ object CrawlEngine {
         foldedDirs = foldedDirsAfter
         pendingKeys = pendingAfter
         delayRows = delayRowsAfter
-        folded.foreach(_.unpersist())
-        delayTable.foreach(_._1.unpersist())
-        r.caches.foreach(_.unpersist())
+        timed("unpersist") {
+          folded.foreach(_.unpersist())
+          delayTable.foreach(_._1.unpersist())
+          r.caches.foreach(_.unpersist())
+        }
         roundNo += 1
       }
     }
