@@ -1,7 +1,7 @@
 package graft.frontier
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.urls.UrlOps
@@ -342,14 +342,15 @@ object CrawlEngine {
     // needs no ordering work when the whole frontier fits the round.
     val wholeFrontier = frontierSize <= cfg.roundSize &&
       cfg.hostBudgetPerRound >= frontierSize && delayBlockedHosts.isEmpty
-    // Round counters are NEVER dedicated count jobs: the drained count is
-    // known driver-side (whole-frontier and collected-top-k paths), read off
-    // the drain-bounds agg (over-limit path), or piggy-backed on job 1 as an
-    // Observation (politeness-limited path). fetched/extracted/new-host
-    // counts are Observations on datasets job 1 materializes anyway.
-    val drainObs = Observation()
-    val outObs = Observation()
-    val robotsObs = Observation()
+    // The drained count is known driver-side on most paths — frontierSize
+    // (whole-frontier), the collected key array's length (broadcast top-k),
+    // the drain-bounds agg (over-limit) — so the counters job only carries a
+    // drained branch on the politeness-limited path. NOT Dataset.observe:
+    // this plan references its shared subtrees (outputs, the dedup exchange,
+    // robots) from several branches, and Catalyst's checkCollectedMetrics
+    // re-compares every duplicated CollectMetrics instance against its
+    // canonicalized subtree — analysis time explodes combinatorially
+    // (measured: minutes for one round's plan).
     var knownDrained: Option[Long] = None
     var drainBounds: Option[(String, String)] = None
     var collectedKeys: Option[DataFrame] = None
@@ -365,7 +366,7 @@ object CrawlEngine {
         if (frontierSize <= cfg.roundSize)
           // |eligible| <= frontierSize <= roundSize: the global top-k is the
           // identity — everything politeness admitted drains this round
-          eligible.observe(drainObs, count(lit(1)).as("drained")).persist()
+          eligible.persist()
         else if (cfg.roundSize <= cfg.broadcastDrainLimit) {
           // Exact top-k via ONE narrow TakeOrdered job collected to the
           // driver — Spark would collect these keys for the semi-join
@@ -467,9 +468,7 @@ object CrawlEngine {
         det.pagination.map(_.nextUrl).orNull,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(canon),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(hosts))
-    }.observe(outObs, count(lit(1)).as("fetched"),
-      sum($"n_rows".cast("long")).as("extracted"))
-      .persist()
+    }.persist()
 
     // --- candidates (C2): explode pre-canonicalized links (hash-only),
     // allow-domains filter ---
@@ -518,9 +517,7 @@ object CrawlEngine {
     // new-host count — needed only for the commit's delta-vs-carry decision —
     // reads the cache afterwards
     val robotsDelta: Dataset[RobotsEntry] =
-      fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent)
-        .observe(robotsObs, count(lit(1)).as("new_hosts"))
-        .persist()
+      fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
     // persisted: every job this round that references the rules (probe
     // chain, detail counters, delay bookkeeping) plans against the tiny
     // in-memory relation instead of re-planning the union+fetch subtree
@@ -570,46 +567,49 @@ object CrawlEngine {
     // block) — seen both for the detect map (outputs) and for the probe
     // cogroup (probed, whose two filter legs fan out in job 2).
     timed("probe-chain")(probed.count())
-    // Job 2 materializes newEntries (its anti-join legs fan out from the
-    // probed cache) and carries the one counter a plan cannot observe: nNew.
-    // Every other counter was collected DURING job 1 via the Observations
-    // above — the former five-branch union-agg job is gone. Detail mode
-    // folds its extract-stage counters (raw/deduped/robots-allowed) into
-    // the same job as a second union branch.
-    val (nNew, nRawCands, dedupedInRound, robotsBlocked) =
-      if (!cfg.lineageDetail)
-        (timed("new-count")(newEntries.count()), -1L, -1L, -1L)
-      else {
-        val m: Map[Int, (Long, Long, Long)] = timed("counters")(
-          newEntries.toDF()
-            .select(lit(0).as("src"), lit(0L).as("a"), lit(0L).as("b"))
-            .union(dedupedWithDups
-              .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
-                Seq("host"), "left")
-              .select(lit(1).as("src"), $"dups".as("a"),
-                when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
-                  .otherwise(0L).as("b")))
-            .groupBy($"src")
-            .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
-            .as[(Int, Long, Long, Long)].collect())
-          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-        val n = m.get(0).map(_._1).getOrElse(0L)
-        val (deduped, raw, allowed) = m.getOrElse(1, (0L, 0L, 0L))
-        (n, raw, raw - deduped, deduped - allowed)
-      }
-    // Observation reads: all three fired during job 1 (their nodes sit on
-    // the single-consumer probe chain / below the ReuseExchange'd dedup
-    // shuffle the chain already relies on), so these never block here.
-    def metric(obs: Observation, key: String): Long =
-      obs.get.get(key) match {
-        case Some(null) | None => 0L
-        case Some(v) => v.asInstanceOf[Number].longValue()
-      }
-    val fetchedTotal = metric(outObs, "fetched")
-    val extractedTotal = metric(outObs, "extracted")
-    val nNewHosts = metric(robotsObs, "new_hosts")
-    val drainedTotal = knownDrained.getOrElse(metric(drainObs, "drained"))
+    // Job 2: every remaining counter — fetched/extracted, new urls, new
+    // hosts, (politeness-limited path only) drained, and (detail mode)
+    // raw/deduped/allowed candidates — in ONE union-agg action; every branch
+    // reads job 1's caches, so this job is the anti-join/agg work plus
+    // scheduling latency only. The drained branch is usually absent: the
+    // count came off the drain-keys collect / bounds agg / frontier_size.
+    val counterBranches = Seq(
+      Some(outputs.toDF().select(lit(0).as("src"),
+        coalesce($"n_rows".cast("long"), lit(0L)).as("a"), lit(0L).as("b"))),
+      Some(newEntries.toDF().select(lit(1).as("src"), lit(0L).as("a"),
+        lit(0L).as("b"))),
+      Some(robotsDelta.toDF().select(lit(2).as("src"), lit(0L).as("a"),
+        lit(0L).as("b"))),
+      if (knownDrained.isDefined) None
+      else Some(drained.toDF().select(lit(3).as("src"), lit(0L).as("a"),
+        lit(0L).as("b"))),
+      if (!cfg.lineageDetail) None
+      else Some(dedupedWithDups
+        .join(robotsAll.toDF().select($"host", $"allow", $"disallow"),
+          Seq("host"), "left")
+        .select(lit(4).as("src"), $"dups".as("a"),
+          when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
+            .otherwise(0L).as("b")))
+    ).flatten
+    val counters: Map[Int, (Long, Long, Long)] =
+      timed("counters")(counterBranches.reduce(_.union(_))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
+        .as[(Int, Long, Long, Long)].collect())
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def counter(src: Int): (Long, Long, Long) =
+      counters.getOrElse(src, (0L, 0L, 0L))
+    val (fetchedTotal, extractedTotal) = (counter(0)._1, counter(0)._2)
+    val nNew = counter(1)._1
+    val nNewHosts = counter(2)._1
+    val drainedTotal = knownDrained.getOrElse(counter(3)._1)
     val politenessDeferred = frontierSize - drainedTotal
+    val (nRawCands, dedupedInRound, robotsBlocked) =
+      if (!cfg.lineageDetail) (-1L, -1L, -1L)
+      else {
+        val (deduped, raw, allowed) = counter(4)
+        (raw, raw - deduped, deduped - allowed)
+      }
 
     // --- seen update: seen ∪ new (enqueue-time dedup, scrapy semantics) ---
     // append-only delta: ONLY the newly-enqueued urls (the full seen set is
