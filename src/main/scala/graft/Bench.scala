@@ -39,7 +39,7 @@ object Bench {
   private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", aqe.toString)
@@ -49,6 +49,30 @@ object Bench {
       // torn-down streaming checkpoint mid-bench (stack trace pollutes stdout)
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .getOrCreate()
+    // stage-level breakdown for perf iteration only (GRAFT_DEBUG_STAGES=1):
+    // wall duration vs summed executor run time per stage exposes where a
+    // round is serial (scheduling, driver) vs parallel (task work)
+    if (sys.env.contains("GRAFT_DEBUG_STAGES"))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = e.stageInfo
+            val run = i.taskMetrics.executorRunTime / 1e3
+            val wall = (for { a <- i.submissionTime; b <- i.completionTime }
+              yield (b - a) / 1e3).getOrElse(-1.0)
+            System.err.println(f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%4d " +
+              f"wall=$wall%6.2fs cpu=$run%7.2fs  ${i.name.takeWhile(_ != '\n')}%s")
+          }
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (sys.env.get("GRAFT_DEBUG_STAGES").contains("2") &&
+                e.taskInfo.duration > 1000)
+              System.err.println(f"[task] stage=${e.stageId}%4d " +
+                f"dur=${e.taskInfo.duration / 1e3}%6.2fs " +
+                f"records=${Option(e.taskMetrics).map(_.inputMetrics.recordsRead).getOrElse(-1L)}%s")
+        })
+    s
   }
 
   final case class Thr(single: Double, multi: Double, extracted: Long)
@@ -74,7 +98,15 @@ object Bench {
       val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt
       // robots.txt rows live IN the pages table (the engine's default robots
       // source) — rules are crawled data, not driver config
-      val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, cpus * 2,
+      // 256 slices, FIXED across parallelism levels (identical input layout
+      // at every level — the scaling pair must differ only in cores): a
+      // PARTIAL drain covers a narrow url range, and with coarse host-major
+      // slices that range lands in a handful of cache partitions — the
+      // detect work then runs on ~4 tasks no matter how many cores exist
+      // (measured: 25s CPU in 6 of 36 tasks). Finer slices are the
+      // cached-table analog of spark.sql.files.maxPartitionBytes sizing:
+      // any drain range spans >= cores partitions.
+      val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, 256,
         weight).union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
       pages.count() // materialize input outside the timed section
       // seed the frontier with every page url (measures drain+extract, not

@@ -481,26 +481,26 @@ object CrawlEngine {
         .map { case (c, h) => entryOf(c, h, d, rn1, nb) }
     }.filter(e => allowedHosts.isEmpty || allowedHosts.contains(e.host))
 
-    // --- in-round dedup (min depth wins, then url — deterministic) ---
-    // Tungsten-native: min over a (depth, url, ...) struct under hash agg
-    // with partial (map-side) combine — no object serde, no GC churn on the
-    // full candidate volume (struct ordering is lexicographic by field).
+    // --- in-round dedup (min depth wins — deterministic) ---
+    // Every FrontierEntry field except depth is a pure function of the url
+    // (entryOf), so rows sharing a url_hash are identical up to depth — the
+    // url-derived fields can all sit in the GROUP KEY and the aggregation
+    // buffer stays numeric-only (min(depth), count). That keeps the dedup a
+    // codegen'd HashAggregate with map-side partial combine; an equivalent
+    // min(struct(depth, url, ...)) carries strings in the agg buffer and
+    // Spark demotes it to SortAggregate — two extra full sorts of the raw
+    // link volume per round (measured in the bench stage profile).
     // Dedup runs BEFORE the robots gate so the robots host-join sees the
     // smaller unique-url set.
     // `dups` carries each group's raw multiplicity so detail mode can read
     // the raw-candidate count off the deduped set without a second pass.
-    // Detail mode caches the dedup shuffle (one extra counter job reads it);
-    // throughput mode stays unpersisted — the probe chain is its only
-    // consumer.
-    val dedupedWithDups0 = rawCands.toDF()
-      .groupBy($"url_hash")
-      .agg(min(struct($"depth", $"url", $"host", $"host_hash", $"bucket",
-        $"priority", $"discovered_round")).as("e"),
-        count(lit(1)).as("dups"))
-      .select($"e.url", $"url_hash", $"e.host", $"e.host_hash", $"e.bucket",
-        $"e.priority", $"e.depth", $"e.discovered_round", $"dups")
-    val dedupedWithDups =
-      if (cfg.lineageDetail) dedupedWithDups0.persist() else dedupedWithDups0
+    val dedupedWithDups = rawCands.toDF()
+      .groupBy($"url_hash", $"url", $"host", $"host_hash", $"bucket")
+      .agg(min($"depth").as("depth"), count(lit(1)).as("dups"))
+      .select($"url", $"url_hash", $"host", $"host_hash", $"bucket",
+        (-$"depth").as("priority"), $"depth",
+        lit(rn1).as("discovered_round"), $"dups")
+      .persist()
     val dedupedCands = dedupedWithDups.drop("dups").as[FrontierEntry]
 
     // --- robots (C4): fetch rules for hosts FIRST SEEN this round from the
@@ -558,16 +558,29 @@ object CrawlEngine {
       .as[FrontierEntry]
     val newEntries = definiteNew.union(fpNew).persist()
 
-    // --- TWO pre-commit job barriers per round. Job 1 materializes the
-    // LINEAR probe chain — drained (via the broadcast build) → fused detect
-    // map → candidate dedup → robots fetch+gate → cuckoo cogroup — into the
-    // round's caches. It must run ALONE and must cover the whole chain: any
-    // cached dataset first-touched by two concurrent branches of a later job
-    // is silently COMPUTED TWICE (Spark's block store races, it does not
-    // block) — seen both for the detect map (outputs) and for the probe
-    // cogroup (probed, whose two filter legs fan out in job 2).
+    // --- THREE pre-commit job barriers per round. Any cached dataset
+    // first-touched by two concurrent branches of one job is silently
+    // COMPUTED TWICE (Spark's block store races, it does not block), and the
+    // probe plan references the dedup subtree from two places — the
+    // candidates leg and, nested inside the robotsDelta cache build, the
+    // new-host discovery (exchange reuse cannot cross the InMemoryRelation
+    // boundary, so a combined job ran the pages scan + detect map twice per
+    // round — the dominant cost in the bench stage profile). Job 1 therefore
+    // materializes the scan-heavy prefix — drained (via the broadcast
+    // build) → fetch join → fused detect map → candidate dedup — exactly
+    // once; everything downstream reads the deduped cache.
+    timed("detect-dedup")(dedupedWithDups.count())
+    // Job 2 materializes the rest of the probe chain — robots fetch for
+    // new hosts, robots gate, cuckoo cogroup — all reading job 1's caches.
     timed("probe-chain")(probed.count())
-    // Job 2: every remaining counter — fetched/extracted, new urls, new
+    if (debugTiming) {
+      val ph = probed.queryExecution.tracker.phases
+      System.err.println("[timing]   probe phases " + ph.map { case (k, v) =>
+        f"$k=${(v.endTimeMs - v.startTimeMs) / 1e3}%.2fs" }.mkString(" "))
+      if (sys.env.contains("GRAFT_DEBUG_PLAN") && roundNo <= 1)
+        System.err.println(probed.queryExecution.executedPlan.toString)
+    }
+    // Job 3: every remaining counter — fetched/extracted, new urls, new
     // hosts, (politeness-limited path only) drained, and (detail mode)
     // raw/deduped/allowed candidates — in ONE union-agg action; every branch
     // reads job 1's caches, so this job is the anti-join/agg work plus
@@ -643,8 +656,8 @@ object CrawlEngine {
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
     RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
       delayDelta, outputs, lineage, stats,
-      Seq(drained, outputs, probed, newEntries, robotsDelta, robotsAll) ++
-        (if (cfg.lineageDetail) Seq(dedupedWithDups) else Seq.empty))
+      Seq(drained, outputs, dedupedWithDups, probed, newEntries, robotsDelta,
+        robotsAll))
   }
 
   /** Fold pending seen keys into the per-bucket cuckoo filters, growing any
