@@ -1,5 +1,6 @@
 package graft
 
+import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import graft.tables.SyntheticWeb
 import graft.frontier.{CrawlConfig, CrawlEngine}
@@ -89,8 +90,17 @@ object Bench {
     * warmup and run-to-run variance pollutes the scaling-efficiency
     * estimate.
     */
+  // Shared across a level's interleaved passes (same JVM): the JIT warm
+  // crawl is JVM-wide (codegen + detect compile once), and the bootstrap
+  // snapshot depends only on (cpus, nPages) — numBuckets = cpus, so it can't
+  // cross levels, but a level's 2nd/3rd pass reuses the 1st pass's dir. Both
+  // are UNTIMED work whose only effect on the measurement was depleting the
+  // host's CPU burst budget between timed windows.
+  private var warmedJvm = false
+  private val bootCache = mutable.Map.empty[(Int, Int), java.nio.file.Path]
+
   private def crawlThroughput(cpus: Int, nPages: Int, nHosts: Int,
-      trials: Int = 2, multiRounds: Int = 8): Thr = {
+      trials: Int = 2, multiRounds: Int = 8, runMulti: Boolean = true): Thr = {
     val spark = session(cpus,
       aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "false").toBoolean)
     try {
@@ -133,21 +143,28 @@ object Bench {
         roundSize = nPages, maxRounds = 1, lineageDetail = false)
       // JIT warmup: an untimed crawl through the same code path — 10k pages,
       // or the first timed trial still pays residual compilation (observed
-      // ~7% on trial 1 with a 5k warmup)
-      val warm = math.min(10000, nPages)
-      val warmCfg = cfg.copy(roundSize = warm)
-      CrawlEngine.run(spark, pages, seedDs(warm), warmCfg,
-        graft.util.TempDirs.create("graft-warm-").toString,
-        collectOutputs = false)
+      // ~7% on trial 1 with a 5k warmup). Once per JVM: codegen and the
+      // detect kernel are JVM-wide, so later interleaved passes skip it.
+      if (!warmedJvm) {
+        val warm = math.min(10000, nPages)
+        val warmCfg = cfg.copy(roundSize = warm)
+        CrawlEngine.run(spark, pages, seedDs(warm), warmCfg,
+          graft.util.TempDirs.create("graft-warm-").toString,
+          collectOutputs = false)
+        warmedJvm = true
+      }
       // bootstrap the v0 frontier snapshot ONCE per level, OUTSIDE the timed
       // section (the metric is drain+extract of an EXISTING frontier table —
       // production resumes from a committed snapshot, not seed ingestion);
       // each trial resumes from a cheap filesystem COPY of it instead of
       // re-crawling the bootstrap — on this burst-throttled host every
       // avoided bootstrap preserves CPU budget for the timed rounds
-      val bootDir = graft.util.TempDirs.create(s"graft-bench-boot-$cpus-")
-      CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
-        bootDir.toString, collectOutputs = false)
+      val bootDir = bootCache.getOrElseUpdate((cpus, nPages), {
+        val d = graft.util.TempDirs.create(s"graft-bench-boot-$cpus-")
+        CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
+          d.toString, collectOutputs = false)
+        d
+      })
       def timedRun(runCfg: CrawlConfig): (Double, Long) = {
         val stateDir = graft.util.TempDirs.create(s"graft-bench-$cpus-")
         copyTree(bootDir, stateDir)
@@ -167,8 +184,11 @@ object Bench {
         val (sec, ex) = timedRun(cfg)
         if (nPages / sec > best) best = nPages / sec
         extracted = ex
-        // one multi-round pass per trial window: same input, same bootstrap
-        if (t == 0) {
+        // ONE multi-round pass per level (the level's last interleaved
+        // entry): it is the supplementary figure, and running it every pass
+        // burned ~3x its cost in budget right before the other level's
+        // timed windows
+        if (runMulti && t == 0) {
           val (msec, _) = timedRun(multiCfg)
           if (nPages / msec > bestMulti) bestMulti = nPages / msec
         }
@@ -221,9 +241,12 @@ object Bench {
           val Array(c, t) = s.split(":"); (c.trim.toInt, t.trim.toInt)
         }
     var measured = Map.empty[Int, Thr]
-    levels.foreach { case (c, t) =>
+    levels.zipWithIndex.foreach { case ((c, t), i) =>
       Thread.sleep(cooldown)
-      val r = crawlThroughput(c, benchPages, nHosts, trials = t)
+      // multi-round pass only on this level's LAST interleaved entry
+      val isLast = !levels.drop(i + 1).exists(_._1 == c)
+      val r = crawlThroughput(c, benchPages, nHosts, trials = t,
+        runMulti = isLast)
       val merged = measured.get(c)
         .map(p => Thr(math.max(p.single, r.single), math.max(p.multi, r.multi),
           if (r.extracted > 0) r.extracted else p.extracted))
@@ -307,10 +330,14 @@ object Bench {
            |job, identical input, JIT-warmed; the v0 seed-snapshot bootstrap
            |is excluded from timing (the metric drains an existing committed
            |frontier). The sandbox host throttles CPU in multi-minute
-           |bursts, so each level runs in TWO passes interleaved with the
-           |other (16,4,16,4 with idle cooldowns), best across passes — a
-           |slow patch then hits both sides of the ratio instead of skewing
-           |it.
+           |bursts, so each level runs in THREE passes interleaved with the
+           |other (16,4,16,4,16,4 with idle cooldowns), best across passes —
+           |a slow patch then hits both sides of the ratio instead of skewing
+           |it. The JIT warm crawl runs once per JVM and each level's
+           |bootstrap snapshot is built once and copied per trial, so the
+           |untimed work between timed windows (the budget the throttle
+           |drains) is minimal; the 8-round figure runs once, on each
+           |level's last pass.
            |
            |Pipeline measured end-to-end per round: politeness window rank →
            |priority drain → fetch join (AQE skew) → fused parse/detect/extract
