@@ -394,9 +394,15 @@ object CrawlEngine {
             }
             drainBounds = Some((lo, hi))
           }
-          val keysDs = spark.createDataset(
+          // explicit slice count: the default (defaultParallelism) would
+          // write one near-empty parquet file per core for the frontier_rm
+          // delta AND schedule a task per core in every job that touches the
+          // keys — one slice per 250k keys keeps the delta at one file per
+          // round and the read path at O(rounds) files, not O(rounds*cores)
+          val keysDs = spark.sparkContext.parallelize(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(
-              keyRows.map(_._1))).toDF("url_hash")
+              keyRows.map(_._1)),
+            math.max(1, keyRows.length / 250000)).toDF("url_hash")
           collectedKeys = Some(keysDs)
           eligible.join(broadcast(keysDs), Seq("url_hash"), "left_semi")
             .as[FrontierEntry]
