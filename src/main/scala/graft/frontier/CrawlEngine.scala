@@ -542,11 +542,15 @@ object CrawlEngine {
             .cast("long")).as("next_ok_round")))
 
     // --- seen-set probe (C3): co-partitioned cuckoo cogroup per bucket ---
+    // NOT persisted: its two consumers below are branches of ONE cached plan
+    // (newEntries), so the cogroup's input shuffles are materialized once by
+    // ReuseExchange and only the (cheap) per-bucket probe pass runs per leg —
+    // a persist here would cost a dedicated job barrier to build race-free.
     val probed = allowedCands.groupByKey(_.bucket)
       .cogroup(filters.groupByKey(_.bucket)) { (b, cs, fs) =>
         val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
         cs.map(c => (c, filt.exists(_.contains(c.url_hash))))
-      }.persist()
+      }
     // cuckoo MISS: new unless in the not-yet-folded pending seen deltas
     // (exact, small); the filter has no false negatives for FOLDED keys
     val cuckooNeg = probed.filter(!_._2).map(_._1)
@@ -564,34 +568,30 @@ object CrawlEngine {
       .as[FrontierEntry]
     val newEntries = definiteNew.union(fpNew).persist()
 
-    // --- THREE pre-commit job barriers per round. Any cached dataset
+    // --- TWO pre-commit job barriers per round. Any cached dataset
     // first-touched by two concurrent branches of one job is silently
-    // COMPUTED TWICE (Spark's block store races, it does not block), and the
-    // probe plan references the dedup subtree from two places — the
-    // candidates leg and, nested inside the robotsDelta cache build, the
-    // new-host discovery (exchange reuse cannot cross the InMemoryRelation
-    // boundary, so a combined job ran the pages scan + detect map twice per
-    // round — the dominant cost in the bench stage profile). Job 1 therefore
-    // materializes the scan-heavy prefix — drained (via the broadcast
-    // build) → fetch join → fused detect map → candidate dedup — exactly
-    // once; everything downstream reads the deduped cache.
-    timed("detect-dedup")(dedupedWithDups.count())
-    // Job 2 materializes the rest of the probe chain — robots fetch for
-    // new hosts, robots gate, cuckoo cogroup — all reading job 1's caches.
-    timed("probe-chain")(probed.count())
-    if (debugTiming) {
-      val ph = probed.queryExecution.tracker.phases
-      System.err.println("[timing]   probe phases " + ph.map { case (k, v) =>
-        f"$k=${(v.endTimeMs - v.startTimeMs) / 1e3}%.2fs" }.mkString(" "))
-      if (sys.env.contains("GRAFT_DEBUG_PLAN") && roundNo <= 1)
-        System.err.println(probed.queryExecution.executedPlan.toString)
-    }
-    // Job 3: every remaining counter — fetched/extracted, new urls, new
+    // COMPUTED TWICE (Spark's block store races, it does not block). Job 1
+    // materializes the scan-heavy prefix as ONE single-reference chain —
+    // drained (via the broadcast build) → fetch join → fused detect map →
+    // candidate dedup → new-host discovery → robots fetch → robotsAll —
+    // by counting the END of the chain: building robotsAll builds every
+    // persisted link upstream of it exactly once (each cache is referenced
+    // once within this plan; fetchRobots left-joins its host set a single
+    // time). Splitting dedup and robots into separate jobs (the previous
+    // shape) bought nothing but an extra ~1s/round barrier: nothing in the
+    // robots chain references dedup twice.
+    timed("detect-robots")(robotsAll.count())
+    if (debugTiming && sys.env.contains("GRAFT_DEBUG_PLAN") && roundNo <= 1)
+      System.err.println(newEntries.queryExecution.executedPlan.toString)
+    // Job 2: every remaining counter — fetched/extracted, new urls, new
     // hosts, (politeness-limited path only) drained, and (detail mode)
     // raw/deduped/allowed candidates — in ONE union-agg action; every branch
-    // reads job 1's caches, so this job is the anti-join/agg work plus
-    // scheduling latency only. The drained branch is usually absent: the
-    // count came off the drain-keys collect / bounds agg / frontier_size.
+    // reads job 1's caches (the probe cogroup inside the newEntries branch is
+    // uncached but its two legs live in one cached plan — ReuseExchange
+    // materializes the cogroup's input shuffles once), so this job is the
+    // probe + anti-join/agg work plus scheduling latency only. The drained
+    // branch is usually absent: the count came off the drain-keys collect /
+    // bounds agg / frontier_size.
     val counterBranches = Seq(
       Some(outputs.toDF().select(lit(0).as("src"),
         coalesce($"n_rows".cast("long"), lit(0L)).as("a"), lit(0L).as("b"))),
@@ -662,7 +662,7 @@ object CrawlEngine {
     val stats = RoundStats(drainedTotal, fetchedTotal, extractedTotal, nNew)
     RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
       delayDelta, outputs, lineage, stats,
-      Seq(drained, outputs, dedupedWithDups, probed, newEntries, robotsDelta,
+      Seq(drained, outputs, dedupedWithDups, newEntries, robotsDelta,
         robotsAll))
   }
 

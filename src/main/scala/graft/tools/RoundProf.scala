@@ -27,8 +27,11 @@ object RoundProf {
     import spark.implicits._
 
     val nHosts = 16
-    val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, cpus * 2)
-      .union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
+    // mirror Bench exactly: 256 fixed slices + page weight 4, so the profiled
+    // plan sees the same cache layout / drain-range partition spread
+    val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt
+    val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, 256,
+      weight).union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
     pages.count()
     val cuts = SyntheticWeb.fastCuts(nPages.toLong, nHosts)
     val cutsBc = spark.sparkContext.broadcast(cuts)
@@ -50,7 +53,8 @@ object RoundProf {
       collectOutputs = false)
 
     final case class StageRow(id: Int, name: String, wallMs: Long, taskMs: Long,
-      tasks: Int)
+      tasks: Int, gcMs: Long, inBytes: Long, shRead: Long, shWrite: Long,
+      spill: Long)
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageRow]()
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
     val listener = new SparkListener {
@@ -66,8 +70,11 @@ object RoundProf {
         val si = sc.stageInfo
         val wall = (for {a <- si.completionTime; b <- si.submissionTime}
           yield a - b).getOrElse(-1L)
+        val tm = si.taskMetrics
         stages.put(si.stageId, StageRow(si.stageId, si.name.takeWhile(_ != '\n').take(80),
-          wall, si.taskMetrics.executorRunTime, si.numTasks))
+          wall, tm.executorRunTime, si.numTasks, tm.jvmGCTime,
+          tm.inputMetrics.bytesRead, tm.shuffleReadMetrics.totalBytesRead,
+          tm.shuffleWriteMetrics.bytesWritten, tm.diskBytesSpilled))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -84,9 +91,11 @@ object RoundProf {
     val totalStageWall = rows.map(_.wallMs).sum
     val totalTask = rows.map(_.taskMs).sum
     println(f"sum stage wall ${totalStageWall / 1000.0}%.1f s; sum task time ${totalTask / 1000.0}%.1f s (/$cpus cores = ${totalTask / 1000.0 / cpus}%.1f s)")
+    val totalGc = rows.map(_.gcMs).sum
+    println(f"sum gc ${totalGc / 1000.0}%.1f s (${100.0 * totalGc / math.max(1, totalTask)}%.0f%% of task time)")
     println("---- top stages by wall ----")
-    rows.take(25).foreach(r =>
-      println(f"stage ${r.id}%4d wall ${r.wallMs}%6d ms task ${r.taskMs}%7d ms n=${r.tasks}%3d  ${r.name}"))
+    rows.take(30).foreach(r =>
+      println(f"stage ${r.id}%4d wall ${r.wallMs}%6d ms task ${r.taskMs}%7d ms gc ${r.gcMs}%6d n=${r.tasks}%3d in=${r.inBytes / 1048576}%5d MB shR=${r.shRead / 1048576}%4d shW=${r.shWrite / 1048576}%4d spill=${r.spill / 1048576}%4d  ${r.name}"))
     println("---- jobs ----")
     val js = jobs.asScala.toSeq.sortBy(_._1)
     println(f"jobs: ${js.size}; total job wall ${js.map(_._2).sum / 1000.0}%.1f s")
