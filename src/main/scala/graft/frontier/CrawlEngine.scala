@@ -324,7 +324,8 @@ object CrawlEngine {
       computeDelay: Boolean,
       pages: DataFrame, // url, html (+ any other cols)
       robotsSrc: DataFrame, // url, html — pre-filtered to */robots.txt
-      cfg: CrawlConfig): RoundResult = {
+      cfg: CrawlConfig,
+      retainOutputs: Boolean = true): RoundResult = {
     import spark.implicits._
 
     // --- crawl-delay gate (C5): hosts inside their politeness window are
@@ -454,7 +455,14 @@ object CrawlEngine {
 
     // --- fused detect/extract map (3.1): ONE narrow map, no shuffle ---
     // links are canonicalized HERE (one parse per link, fused with the
-    // CPU-heavy detect) so every downstream pass is hash/string-cheap
+    // CPU-heavy detect) so every downstream pass is hash/string-cheap.
+    // When the caller discards outputs (collectOutputs=false — bench /
+    // scale tools), the url/text payloads are COMPUTED (the extract work is
+    // the metric) but not RETAINED: nothing downstream of the cache reads
+    // them in that mode (candidates use links/link_hosts/depth, counters use
+    // n_rows), and retaining ~KBs of text per page across a 250k-page round
+    // is pure old-gen GC pressure at high core counts.
+    val retain = retainOutputs
     val outputs: Dataset[PageOutput] = fetched.map { case (url, depth, html) =>
       val doc = HtmlParser.parseBytes(html)
       val det = Detector.detectDoc(url, doc)
@@ -469,9 +477,9 @@ object CrawlEngine {
         canon(i) = ch._1; hosts(i) = ch._2
         i += 1
       }
-      PageOutput(url, depth, det.nNodes, det.lists.size,
-        det.lists.map(_.data.size).sum, text,
-        det.pagination.map(_.nextUrl).orNull,
+      PageOutput(if (retain) url else "", depth, det.nNodes, det.lists.size,
+        det.lists.map(_.data.size).sum, if (retain) text else "",
+        if (retain) det.pagination.map(_.nextUrl).orNull else null,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(canon),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(hosts))
     }.persist()
@@ -935,7 +943,7 @@ object CrawlEngine {
         }
       val r = timed("round-build")(round(spark, roundNo, frontier, frontierSize,
         seen, filters, pendingSeen, robots, blockedHosts, delayActive, pages,
-        robotsSrc, cfg))
+        robotsSrc, cfg, retainOutputs = collectOutputs))
       val stats = r.stats
       if (stats.drained == 0) {
         r.caches.foreach(_.unpersist())
