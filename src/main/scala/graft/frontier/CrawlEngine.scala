@@ -97,6 +97,39 @@ final case class CrawlConfig(
 final case class CrawlStats(rounds: Int, fetched: Long, extractedRows: Long, seenSize: Long)
 final case class RoundStats(drained: Long, fetched: Long, extracted: Long, newUrls: Long)
 
+/** Exactly-once per-partition tallies for counters that ride an existing
+  * job instead of costing their own. Each fully-consumed partition registers
+  * its (rowCount, weightSum) keyed by partition id, and merge OVERWRITES on
+  * key collision — a partition's tally is a deterministic function of its
+  * input, so task retries, speculative duplicates, or cache-eviction
+  * recomputes land the same value on the same key and can never
+  * double-count. (Plain sc.longAccumulator lacks this: transformation-side
+  * updates are at-least-once. Dataset.observe can't serve here either — a
+  * CollectMetrics node inside a persisted plan never reports, because the
+  * cache materialization is not the observing query.)
+  */
+private[frontier] final class PartitionTallies
+    extends org.apache.spark.util.AccumulatorV2[
+      (Int, (Long, Long)), Map[Int, (Long, Long)]] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): PartitionTallies = {
+    val c = new PartitionTallies; c.m.putAll(m); c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (Int, (Long, Long))): Unit = m.put(v._1, v._2)
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      (Int, (Long, Long)), Map[Int, (Long, Long)]]): Unit =
+    other.value.foreach { case (k, v) => m.put(k, v) }
+  override def value: Map[Int, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
+  }
+  /** (Σ rowCount, Σ weightSum) across partitions. */
+  def totals: (Long, Long) =
+    value.values.foldLeft((0L, 0L)) { case ((a, b), (n, w)) => (a + n, b + w) }
+}
+
 /** Spark-native URL frontier + fetch scheduler (north rule; SURVEY.md §2.9,
   * §3.3). Each round is one batch Dataset job:
   *
@@ -128,6 +161,35 @@ object CrawlEngine {
       val r = f
       System.err.println(f"[timing] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       r
+    }
+
+  /** Wrap `ds` so that each FULLY consumed partition registers
+    * (rowCount, Σ weight(row)) into `acc` exactly once (keyed by partition
+    * id — see PartitionTallies). The tally node is part of `ds`'s plan, so
+    * when the result is persisted the tallies are computed during cache
+    * materialization and never again on cache hits. Chained after typed
+    * operators it stays in the object domain (no extra ser/deser).
+    */
+  private def tallied[T: org.apache.spark.sql.Encoder](
+      ds: Dataset[T], acc: PartitionTallies)(weight: T => Long): Dataset[T] =
+    ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var n = 0L
+      var w = 0L
+      var registered = false
+      new Iterator[T] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !registered) { acc.add((pid, (n, w))); registered = true }
+          h
+        }
+        override def next(): T = {
+          val t = it.next()
+          n += 1
+          w += weight(t)
+          t
+        }
+      }
     }
 
   def entry(url: String, depth: Int, round: Int, numBuckets: Int): FrontierEntry = {
@@ -463,7 +525,9 @@ object CrawlEngine {
     // n_rows), and retaining ~KBs of text per page across a 250k-page round
     // is pure old-gen GC pressure at high core counts.
     val retain = retainOutputs
-    val outputs: Dataset[PageOutput] = fetched.map { case (url, depth, html) =>
+    val outputTallies = new PartitionTallies
+    spark.sparkContext.register(outputTallies, s"r$roundNo-output-tallies")
+    val outputs: Dataset[PageOutput] = tallied(fetched.map { case (url, depth, html) =>
       val doc = HtmlParser.parseBytes(html)
       val det = Detector.detectDoc(url, doc)
       val rows = det.lists.headOption.map(_.data).getOrElse(Seq.empty)
@@ -482,7 +546,14 @@ object CrawlEngine {
         if (retain) det.pagination.map(_.nextUrl).orNull else null,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(canon),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(hosts))
-    }.persist()
+    }, outputTallies)(_.n_rows.toLong)
+      // fetched/extracted counters ride job 1 as per-partition tallies: the
+      // tally node sits INSIDE the cached plan, so it is computed exactly
+      // when the cache materializes (once — the chain is single-referenced
+      // in job 1) and never again on cache hits. That removes the counters
+      // job's full re-read of this cache (260 task launches per round just
+      // to sum n_rows — pure scheduling latency at partial-drain sizes).
+      .persist()
 
     // --- candidates (C2): explode pre-canonicalized links (hash-only),
     // allow-domains filter ---
@@ -530,8 +601,14 @@ object CrawlEngine {
     // job (its result is persisted as a side effect of that job); the
     // new-host count — needed only for the commit's delta-vs-carry decision —
     // reads the cache afterwards
+    val robotsTallies = new PartitionTallies
+    spark.sparkContext.register(robotsTallies, s"r$roundNo-robots-tallies")
     val robotsDelta: Dataset[RobotsEntry] =
-      fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent).persist()
+      tallied(fetchRobots(spark, newHosts, robotsSrc, cfg.userAgent),
+        robotsTallies)(_ => 0L)
+        // new-host count as a job-1 tally (same contract as the outputs
+        // tallies: computed at cache materialization, once)
+        .persist()
     // persisted: every job this round that references the rules (probe
     // chain, detail counters, delay bookkeeping) plans against the tiny
     // in-memory relation instead of re-planning the union+fetch subtree
@@ -591,22 +668,20 @@ object CrawlEngine {
     timed("detect-robots")(robotsAll.count())
     if (debugTiming && sys.env.contains("GRAFT_DEBUG_PLAN") && roundNo <= 1)
       System.err.println(newEntries.queryExecution.executedPlan.toString)
-    // Job 2: every remaining counter — fetched/extracted, new urls, new
-    // hosts, (politeness-limited path only) drained, and (detail mode)
-    // raw/deduped/allowed candidates — in ONE union-agg action; every branch
-    // reads job 1's caches (the probe cogroup inside the newEntries branch is
-    // uncached but its two legs live in one cached plan — ReuseExchange
-    // materializes the cogroup's input shuffles once), so this job is the
-    // probe + anti-join/agg work plus scheduling latency only. The drained
-    // branch is usually absent: the count came off the drain-keys collect /
-    // bounds agg / frontier_size.
+    // Job 2: the remaining counters — new urls, (politeness-limited path
+    // only) drained, and (detail mode) raw/deduped/allowed candidates — in
+    // ONE action; every branch reads job 1's caches (the probe cogroup
+    // inside the newEntries branch is uncached but its two legs live in one
+    // cached plan — ReuseExchange materializes the cogroup's input shuffles
+    // once), so this job is the probe + anti-join/agg work plus scheduling
+    // latency only. Fetched/extracted and new-host counts DON'T ride this
+    // job any more: they were tallied during job 1's cache materialization
+    // (outputTallies/robotsTallies), so the throughput-mode round pays one
+    // bare newEntries.count() here instead of a 5-branch union that re-read
+    // the 260-partition outputs cache. The drained branch is usually
+    // absent: the count came off the drain-keys collect / bounds agg /
+    // frontier_size.
     val counterBranches = Seq(
-      Some(outputs.toDF().select(lit(0).as("src"),
-        coalesce($"n_rows".cast("long"), lit(0L)).as("a"), lit(0L).as("b"))),
-      Some(newEntries.toDF().select(lit(1).as("src"), lit(0L).as("a"),
-        lit(0L).as("b"))),
-      Some(robotsDelta.toDF().select(lit(2).as("src"), lit(0L).as("a"),
-        lit(0L).as("b"))),
       if (knownDrained.isDefined) None
       else Some(drained.toDF().select(lit(3).as("src"), lit(0L).as("a"),
         lit(0L).as("b"))),
@@ -618,17 +693,28 @@ object CrawlEngine {
           when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
             .otherwise(0L).as("b")))
     ).flatten
-    val counters: Map[Int, (Long, Long, Long)] =
-      timed("counters")(counterBranches.reduce(_.union(_))
-        .groupBy($"src")
-        .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
-        .as[(Int, Long, Long, Long)].collect())
-        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val counters: Map[Int, (Long, Long, Long)] = timed("counters") {
+      if (counterBranches.isEmpty)
+        Map(1 -> (newEntries.count(), 0L, 0L))
+      else {
+        val extra = Seq(newEntries.toDF().select(lit(1).as("src"),
+          lit(0L).as("a"), lit(0L).as("b"))) ++ counterBranches
+        extra.reduce(_.union(_))
+          .groupBy($"src")
+          .agg(count(lit(1)).as("n"), sum($"a").as("sa"), sum($"b").as("sb"))
+          .as[(Int, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      }
+    }
     def counter(src: Int): (Long, Long, Long) =
       counters.getOrElse(src, (0L, 0L, 0L))
-    val (fetchedTotal, extractedTotal) = (counter(0)._1, counter(0)._2)
+    // job 1 has completed (robotsAll.count above), so every partition of the
+    // outputs/robotsDelta caches has been fully consumed and its tally
+    // merged — accumulator updates land with the task-completion events the
+    // action waited on.
+    val (fetchedTotal, extractedTotal) = outputTallies.totals
     val nNew = counter(1)._1
-    val nNewHosts = counter(2)._1
+    val nNewHosts = robotsTallies.totals._1
     val drainedTotal = knownDrained.getOrElse(counter(3)._1)
     val politenessDeferred = frontierSize - drainedTotal
     val (nRawCands, dedupedInRound, robotsBlocked) =
