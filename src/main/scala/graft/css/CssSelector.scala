@@ -136,23 +136,44 @@ object CssSelector {
 
   private def matchesSimple(doc: DomDocument, node: DomNode, sel: SimpleSel): Boolean = sel match {
     case TagSel(t)   => node.tag == t
-    case IdSel(v)    => node.attr("id").contains(v)
-    case ClassSel(c) => node.attr("class").exists(v => containsToken(v, c))
-    case AttrSel(k, None)    => k != "\u0000unsupported" && node.attr(k).isDefined
-    case AttrSel(k, Some(v)) => node.attr(k).contains(v)
+    case IdSel(v)    => node.attrOrNull("id") == v
+    case ClassSel(c) =>
+      val v = node.attrOrNull("class")
+      v != null && containsToken(v, c)
+    case AttrSel(k, None)    => k != "\u0000unsupported" && node.attrOrNull(k) != null
+    case AttrSel(k, Some(v)) => node.attrOrNull(k) == v
     case NthOfType(k) =>
       if (node.parentId < 0) k == 1
       else {
-        val sibs = doc.children(node.parentId).filter(i => doc(i).tag == node.tag)
-        val idx = sibs.indexOf(node.id)
-        idx >= 0 && idx + 1 == k
+        // k-th same-tag sibling, counted without the filtered copy (this
+        // runs per candidate × selector part in the extract hot path)
+        val sibs = doc.children(node.parentId)
+        var cnt = 0
+        var mine = -1
+        var i = 0
+        while (i < sibs.length) {
+          val c = sibs(i)
+          if (doc(c).tag == node.tag) { cnt += 1; if (c == node.id) mine = cnt }
+          i += 1
+        }
+        mine == k
       }
     case LastChild =>
-      node.parentId < 0 || doc.children(node.parentId).lastOption.contains(node.id)
+      node.parentId < 0 || {
+        val sibs = doc.children(node.parentId)
+        sibs.length > 0 && sibs(sibs.length - 1) == node.id
+      }
   }
 
-  def matchesCompound(doc: DomDocument, node: DomNode, c: Compound): Boolean =
-    c.parts.forall(p => matchesSimple(doc, node, p))
+  def matchesCompound(doc: DomDocument, node: DomNode, c: Compound): Boolean = {
+    val parts = c.parts
+    var i = 0
+    while (i < parts.length) {
+      if (!matchesSimple(doc, node, parts(i))) return false
+      i += 1
+    }
+    true
+  }
 
   /** Right-to-left match of the full selector in whole-document context. */
   def matches(doc: DomDocument, nodeId: Int, sel: Selector): Boolean = {

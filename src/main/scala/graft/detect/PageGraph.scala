@@ -77,25 +77,49 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
     * this runs per node inside the detect map and the chain of throwaway
     * vectors was measurable memory traffic at 16 threads.
     */
-  val nodeFeatureNames: Array[Vector[String]] = nodeIds.map { id =>
-    val nd = doc(id)
-    val b = Vector.newBuilder[String]
-    var seen: mutable.Set[String] = null // lazily created; most nodes have no dups
-    var out = List.empty[String]
+  val nodeFeatureNames: Array[Array[String]] = {
+    // per-page intern of "prefix=value" feature names: a page has few
+    // distinct tags/classes but repeats them across hundreds of nodes —
+    // interning turns ~3 string concats per node into a no-alloc map hit
+    // (keyed by the raw value, so the lookup itself allocates nothing)
+    val tagIntern = new java.util.HashMap[String, String]()
+    val classIntern = new java.util.HashMap[String, String]()
+    val idIntern = new java.util.HashMap[String, String]()
+    val styleIntern = new java.util.HashMap[String, String]()
+    def interned(m: java.util.HashMap[String, String], prefix: String,
+        v: String): String = {
+      val hit = m.get(v)
+      if (hit != null) hit
+      else { val s = prefix + v; m.put(v, s); s }
+    }
+    // scratch reused across nodes (graph construction is single-threaded);
+    // first-occurrence dedup by linear scan — nodes have ≤ a handful of
+    // features, and interning makes the equality checks reference-fast
+    var scratch = new Array[String](16)
+    var cnt = 0
     def add(f: String): Unit = {
-      if (seen == null) {
-        if (!out.contains(f)) { out ::= f; b += f }
-        if (out.length > 8) { seen = mutable.Set(out: _*) }
-      } else if (seen.add(f)) b += f
-    }
-    add(s"tag=${nd.tag}")
-    nd.attrs.foreach { case (k, v) =>
-      if (k == "class") graft.dom.Ws.tokens(v).foreach { t =>
-        if (!t.contains(":")) add(s"class=$t")
+      var i = 0
+      while (i < cnt) {
+        if (scratch(i) == f) return
+        i += 1
       }
-      else if (k == "id" || k == "style") add(s"$k=$v")
+      if (cnt == scratch.length) scratch = java.util.Arrays.copyOf(scratch, cnt * 2)
+      scratch(cnt) = f
+      cnt += 1
     }
-    b.result()
+    nodeIds.map { id =>
+      val nd = doc(id)
+      cnt = 0
+      add(interned(tagIntern, "tag=", nd.tag))
+      nd.attrs.foreach { case (k, v) =>
+        if (k == "class") graft.dom.Ws.tokens(v).foreach { t =>
+          if (!t.contains(":")) add(interned(classIntern, "class=", t))
+        }
+        else if (k == "id") add(interned(idIntern, "id=", v))
+        else if (k == "style") add(interned(styleIntern, "style=", v))
+      }
+      java.util.Arrays.copyOf(scratch, cnt)
+    }
   }
 
   /** DictVectorizer analog: sorted distinct feature names → column index
@@ -106,11 +130,23 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
     nodeFeatureNames.foreach(_.foreach(set += _))
     set.toArray
   }
-  val featureIndex: Map[String, Int] = featureNames.zipWithIndex.toMap
-
-  /** Sparse rows: sorted column indices per node (all values 1.0). */
-  val rows: Array[Array[Int]] =
-    nodeFeatureNames.map(fs => fs.map(featureIndex).sorted.toArray)
+  /** Sparse rows: sorted column indices per node (all values 1.0).
+    * featureNames is sorted (TreeSet), so the column of a feature is its
+    * binarySearch position — no boxed map, no intermediate vectors.
+    */
+  val rows: Array[Array[Int]] = {
+    val names = featureNames.asInstanceOf[Array[AnyRef]]
+    nodeFeatureNames.map { fs =>
+      val a = new Array[Int](fs.length)
+      var j = 0
+      while (j < fs.length) {
+        a(j) = java.util.Arrays.binarySearch(names, fs(j))
+        j += 1
+      }
+      java.util.Arrays.sort(a)
+      a
+    }
+  }
 
   /** column sums over the page (A-1). */
   val featureCounts: Array[Int] = {
@@ -213,13 +249,15 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
   }
 
   private def previousSiblingsWithClasses(nd: DomNode): Int = {
-    val classes = nd.featureClasses.toSet
+    // subset check directly on the (small) class vectors — the per-node
+    // toSet in this O(n) scan was measurable allocation at 16 threads
+    val classes = nd.featureClasses
     var c = 0
     var i = 0
     while (i < n) {
       val m = node(i)
       if (m.parentId == nd.parentId && m.id < nd.id && m.tag == nd.tag &&
-        classes.subsetOf(m.featureClasses.toSet)) c += 1
+        classes.forall(m.featureClasses.contains)) c += 1
       i += 1
     }
     c

@@ -75,10 +75,9 @@ object PlainList {
       row
     }
     val base = Array.tabulate(n)(prunedRow)
-
-    // x1 = L1-normalized own features (plain_list.py:143-156)
-    val x1 = base.map(_.clone())
-    Numeric.l1NormalizeRows(x1)
+    // x1 (L1-normalized own features, plain_list.py:143-156) is `base`
+    // normalized IN PLACE — but only after the x2 walk below, which reads
+    // the raw counts; reusing the buffer saves an n×d clone per page.
 
     // Node2vec neighborhood (plain_list.py:158-173): the reference samples ONE
     // unseeded 8-step uniform walk per node over the child graph (p=q=1 =>
@@ -156,6 +155,10 @@ object PlainList {
       i += 1
     }
     Numeric.l1NormalizeRows(x2)
+
+    // x2 walk done — base's raw counts are no longer needed; it becomes x1
+    val x1 = base
+    Numeric.l1NormalizeRows(x1)
 
     // concat(x1, x2 * ratio), L2 normalize (plain_list.py:175-188)
     val x = Array.ofDim[Double](n, 2 * d)

@@ -22,9 +22,15 @@ private[graft] object Ws {
     * pattern per call.
     */
   def tokens(s: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
-    var i = 0
     val n = s.length
+    if (n == 0) return Vector.empty
+    // fast path: no whitespace at all — the string IS the single token
+    // (the common case for class attrs; skips the builder + substring)
+    var i = 0
+    while (i < n && !s.charAt(i).isWhitespace) i += 1
+    if (i == n) return Vector(s)
+    val out = Vector.newBuilder[String]
+    if (i > 0) out += s.substring(0, i)
     while (i < n) {
       while (i < n && s.charAt(i).isWhitespace) i += 1
       val st = i
@@ -42,9 +48,31 @@ final case class DomNode(
     attrs: Vector[(String, String)], // source order, keys lowercased, entities decoded
     content: Vector[DomContent] // direct children: raw text segments + element refs
 ) {
-  def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
+  /** First value for `key`, or null — the zero-allocation probe selector
+    * matching uses per candidate × simple-selector.
+    */
+  def attrOrNull(key: String): String = {
+    var i = 0
+    while (i < attrs.length) {
+      val kv = attrs(i)
+      if (kv._1 == key) return kv._2
+      i += 1
+    }
+    null
+  }
 
-  def childIds: Vector[Int] = content.collect { case ChildRef(i) => i }
+  def attr(key: String): Option[String] = Option(attrOrNull(key))
+
+  // lazy + unboxed: traversals (graph build, CSS descendant walks) revisit a
+  // node's children many times per page — one int array per node, ever
+  lazy val childIds: Array[Int] = {
+    var cnt = 0
+    content.foreach { case ChildRef(_) => cnt += 1; case _ => }
+    val a = new Array[Int](cnt)
+    var j = 0
+    content.foreach { case ChildRef(i) => a(j) = i; j += 1; case _ => }
+    a
+  }
 
   /** `class` attribute split on ASCII whitespace (reference: list-valued attr,
     * graph_loader.py:169-181).
@@ -83,7 +111,7 @@ final case class DomNode(
   /** Raw (k, v) feature pairs: ('tag', tag) plus flattened attributes, class
     * exploded per token (webspot/graph/graph_loader.py:166-181).
     */
-  def rawFeatures: Vector[(String, String)] = {
+  lazy val rawFeatures: Vector[(String, String)] = {
     val b = Vector.newBuilder[(String, String)]
     b += (("tag", tag))
     attrs.foreach { case (k, v) =>
@@ -96,19 +124,20 @@ final case class DomNode(
   /** Features with pseudo-class-looking class values dropped
     * (webspot/graph/models/node.py:15-23).
     */
-  def features: Vector[(String, String)] =
+  lazy val features: Vector[(String, String)] =
     rawFeatures.filterNot { case (k, v) => k == "class" && v.contains(":") }
 
   /** Distinct one-hot feature names "k=v" (node.py:26-27). */
   def featureNames: Vector[String] = features.map { case (k, v) => s"$k=$v" }.distinct
 
   /** class values usable in a CSS selector: no ':' and not digit-leading
-    * (node.py:37-45).
+    * (node.py:37-45). Lazy: selector matching and the O(n²) numbered-sibling
+    * scans probe this repeatedly per node.
     */
-  def featureClasses: Vector[String] =
+  lazy val featureClasses: Vector[String] =
     features.collect { case ("class", v) if v.nonEmpty && !v.head.isDigit => v }
 
-  def featureId: Option[String] = features.collectFirst { case ("id", v) => v }
+  lazy val featureId: Option[String] = features.collectFirst { case ("id", v) => v }
 }
 
 /** A parsed page: nodes indexed by id (id == array index). */
@@ -131,7 +160,7 @@ final class DomDocument(val nodes: Array[DomNode]) {
   }
 
   /** Element children of `id` in document order (full DOM, all tags). */
-  def children(id: Int): Vector[Int] = nodes(id).childIds
+  def children(id: Int): Array[Int] = nodes(id).childIds
 
   def findFirst(tag: String): Option[Int] = nodes.find(_.tag == tag).map(_.id)
 }

@@ -82,7 +82,9 @@ object HtmlParser {
       val parentId: Int,
       val tag: String,
       val attrs: Vector[(String, String)]) {
-    val content = mutable.ArrayBuffer.empty[DomContent]
+    // small initial capacity: most nodes hold ≤4 content entries, and the
+    // default 16-slot backing array was measurable parse allocation
+    val content = new mutable.ArrayBuffer[DomContent](4)
     var textOpen = false // true while the last content entry is a mergeable TextSeg
 
     def addText(t: String): Unit = {
@@ -101,8 +103,45 @@ object HtmlParser {
   /** Encoding cascade mirroring the reference's utf-8 → gbk → iso-8859-1 →
     * cp1252 sniff (/root/reference/webspot/request/html_requester.py:53-61).
     */
+  /** Strict UTF-8 validity scan (RFC 3629: no overlongs, no surrogates, max
+    * U+10FFFF) — zero-allocation; lets the common case below decode through
+    * the one-copy String ctor instead of a CharsetDecoder (which allocates a
+    * 2n char buffer plus a final copy per page).
+    */
+  private def isValidUtf8(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else if (b0 < 0xc2) return false // continuation byte or overlong lead
+      else if (b0 < 0xe0) { // 2-byte
+        if (i + 1 >= n || (bytes(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (b0 < 0xf0) { // 3-byte
+        if (i + 2 >= n) return false
+        val b1 = bytes(i + 1) & 0xff
+        if ((b1 & 0xc0) != 0x80 || (bytes(i + 2) & 0xc0) != 0x80) return false
+        if (b0 == 0xe0 && b1 < 0xa0) return false // overlong
+        if (b0 == 0xed && b1 >= 0xa0) return false // surrogate
+        i += 3
+      } else if (b0 < 0xf5) { // 4-byte
+        if (i + 3 >= n) return false
+        val b1 = bytes(i + 1) & 0xff
+        if ((b1 & 0xc0) != 0x80 || (bytes(i + 2) & 0xc0) != 0x80 ||
+          (bytes(i + 3) & 0xc0) != 0x80) return false
+        if (b0 == 0xf0 && b1 < 0x90) return false // overlong
+        if (b0 == 0xf4 && b1 >= 0x90) return false // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
   def decodeBytes(bytes: Array[Byte]): String = {
     import java.nio.charset._
+    if (isValidUtf8(bytes))
+      return new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     val cascade = Seq("UTF-8", "GBK", "ISO-8859-1", "windows-1252")
     cascade.iterator.flatMap { name =>
       try {
@@ -117,6 +156,7 @@ object HtmlParser {
   def parse(html: String): DomDocument = {
     val finished = mutable.ArrayBuffer.empty[Building] // indexed by id
     val stack = mutable.ArrayBuffer.empty[Building] // open elements
+    val tagScratch = new TagScratch // reused across all tags of this parse
     var nextId = 0
 
     def openNode(tag: String, attrs: Vector[(String, String)]): Building = {
@@ -169,8 +209,11 @@ object HtmlParser {
               i = end + 1
             }
           case c if c.isLetter =>
-            val (tag, attrs, selfClosed, after) = parseTag(html, lt + 1)
-            i = after
+            parseTag(html, lt + 1, tagScratch)
+            val tag = tagScratch.tag
+            val attrs = tagScratch.attrs
+            val selfClosed = tagScratch.selfClosed
+            i = tagScratch.after
             // implied closes
             ImpliedClose.get(tag).foreach { closers =>
               if (stack.nonEmpty && closers.contains(stack.last.tag))
@@ -219,15 +262,88 @@ object HtmlParser {
     -1
   }
 
-  /** Parse a start tag beginning right after '<'. Returns
-    * (tag, attrs, selfClosed, index-after-'>').
+  /** Reusable start-tag parse state — one instance per parse() call, so a
+    * page's several hundred tags don't each allocate a boxed tuple. Also
+    * hosts a small per-parse intern table for lowercased tag/attr names: a
+    * page has ~20 distinct tags and ~10 distinct attr names repeated across
+    * hundreds of elements, and region-keyed interning skips both the
+    * substring and the toLowerCase allocation on every repeat.
     */
-  private def parseTag(html: String, start: Int): (String, Vector[(String, String)], Boolean, Int) = {
+  private final class TagScratch {
+    var tag: String = _
+    var attrs: Vector[(String, String)] = _
+    var selfClosed: Boolean = false
+    var after: Int = 0
+
+    private val tbl = new Array[String](128) // linear-probe, power of 2
+
+    /** substring(start, end).toLowerCase, interned when the region is short
+      * ASCII (tags/attr names always are); falls back to a plain lowercased
+      * substring otherwise — byte-identical results either way.
+      */
+    def lowerName(html: String, start: Int, end: Int): String = {
+      val len = end - start
+      var h = 0
+      var ascii = true
+      var i = start
+      while (i < end) {
+        val c = html.charAt(i)
+        if (c >= 0x80) ascii = false
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        h = h * 31 + lc
+        i += 1
+      }
+      if (!ascii || len == 0 || len > 24) return lowerSubstring(html, start, end)
+      var slot = h & 127
+      var probes = 0
+      while (probes < 8) {
+        val cand = tbl(slot)
+        if (cand == null) {
+          val s = lowerSubstring(html, start, end)
+          tbl(slot) = s
+          return s
+        }
+        if (cand.length == len) {
+          var j = 0
+          var eq = true
+          while (eq && j < len) {
+            val c = html.charAt(start + j)
+            val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            if (lc != cand.charAt(j)) eq = false
+            j += 1
+          }
+          if (eq) return cand
+        }
+        slot = (slot + 1) & 127
+        probes += 1
+      }
+      lowerSubstring(html, start, end)
+    }
+  }
+
+  /** substring(start, end), lowercased — without the extra toLowerCase
+    * allocation when the region is already lowercase (the common case).
+    */
+  private def lowerSubstring(html: String, start: Int, end: Int): String = {
+    var i = start
+    while (i < end && !Character.isUpperCase(html.charAt(i))) i += 1
+    val s = html.substring(start, end)
+    if (i == end) s else s.toLowerCase
+  }
+
+  /** Parse a start tag beginning right after '<' into `out`. */
+  private def parseTag(html: String, start: Int, out: TagScratch): Unit = {
     val n = html.length
     var i = start
     while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-' || html.charAt(i) == ':')) i += 1
-    val tag = html.substring(start, i).toLowerCase
-    val attrs = Vector.newBuilder[(String, String)]
+    val tag = out.lowerName(html, start, i)
+    // lazy: attr-less tags (roughly half a page's elements) never pay the
+    // builder's 32-slot backing array
+    var attrs: scala.collection.immutable.VectorBuilder[(String, String)] = null
+    def addAttr(kv: (String, String)): Unit = {
+      if (attrs == null) attrs = new scala.collection.immutable.VectorBuilder[(String, String)]
+      attrs += kv
+    }
     var selfClosed = false
     var done = false
     while (!done && i < n) {
@@ -244,7 +360,7 @@ object HtmlParser {
           val nameStart = i
           while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
             html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
-          val name = html.substring(nameStart, i).toLowerCase
+          val name = out.lowerName(html, nameStart, i)
           // optional '=' value
           var j = i
           while (j < n && html.charAt(j).isWhitespace) j += 1
@@ -255,20 +371,23 @@ object HtmlParser {
               val q = html.charAt(j)
               val vEnd = html.indexOf(q, j + 1)
               val value = if (vEnd < 0) html.substring(j + 1) else html.substring(j + 1, vEnd)
-              attrs += ((name, decodeEntities(value)))
+              addAttr((name, decodeEntities(value)))
               i = if (vEnd < 0) n else vEnd + 1
             } else {
               val vStart = j
               while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
-              attrs += ((name, decodeEntities(html.substring(vStart, j))))
+              addAttr((name, decodeEntities(html.substring(vStart, j))))
               i = j
             }
           } else {
-            if (name.nonEmpty) attrs += ((name, "")) // bare attribute
+            if (name.nonEmpty) addAttr((name, "")) // bare attribute
             i = i.max(nameStart + 1)
           }
       }
     }
-    (tag, attrs.result(), selfClosed, i)
+    out.tag = tag
+    out.attrs = if (attrs == null) Vector.empty else attrs.result()
+    out.selfClosed = selfClosed
+    out.after = i
   }
 }
