@@ -356,7 +356,12 @@ object CrawlEngine {
       outputs: Dataset[PageOutput],
       lineage: Dataset[LineageRow],
       stats: RoundStats,
-      caches: Seq[Dataset[_]])
+      caches: Seq[Dataset[_]],
+      // Some = the new-url count was NOT materialized inside round() (no
+      // counters job ran): the caller's first action over `seenDelta` — the
+      // commit's seen-delta write — materializes the probe chain, and the
+      // tally then carries the count. stats.newUrls is -1 in that case.
+      newTallies: Option[PartitionTallies] = None)
 
   /** One fetch-schedule round.
     *
@@ -651,7 +656,14 @@ object CrawlEngine {
       .join(seen, Seq("url_hash"), "left_anti")
       .select(feCols: _*)
       .as[FrontierEntry]
-    val newEntries = definiteNew.union(fpNew).persist()
+    // new-url count rides the cache materialization as a partition tally —
+    // in throughput mode (no counter branches) NO dedicated count job runs:
+    // the commit's seen-delta write is the first consumer and materializes
+    // the probe chain, write + count in one job barrier
+    val newTallies = new PartitionTallies
+    spark.sparkContext.register(newTallies, s"r$roundNo-new-tallies")
+    val newEntries = tallied(definiteNew.union(fpNew), newTallies)(_ => 0L)
+      .persist()
 
     // --- TWO pre-commit job barriers per round. Any cached dataset
     // first-touched by two concurrent branches of one job is silently
@@ -693,9 +705,13 @@ object CrawlEngine {
           when(robotsAllowCol($"url", $"allow", $"disallow"), 1L)
             .otherwise(0L).as("b")))
     ).flatten
+    // Throughput mode runs NO job here at all: the new-url count arrives via
+    // newTallies when the commit's seen-delta write materializes the cache —
+    // one fewer job barrier per round (scheduling + a full probe-chain
+    // re-read, measured ~1s/round at 16 cores on 250k-page rounds).
+    val deferNew = counterBranches.isEmpty
     val counters: Map[Int, (Long, Long, Long)] = timed("counters") {
-      if (counterBranches.isEmpty)
-        Map(1 -> (newEntries.count(), 0L, 0L))
+      if (deferNew) Map.empty
       else {
         val extra = Seq(newEntries.toDF().select(lit(1).as("src"),
           lit(0L).as("a"), lit(0L).as("b"))) ++ counterBranches
@@ -713,7 +729,7 @@ object CrawlEngine {
     // merged — accumulator updates land with the task-completion events the
     // action waited on.
     val (fetchedTotal, extractedTotal) = outputTallies.totals
-    val nNew = counter(1)._1
+    val nNew = if (deferNew) -1L else counter(1)._1
     val nNewHosts = robotsTallies.totals._1
     val drainedTotal = knownDrained.getOrElse(counter(3)._1)
     val politenessDeferred = frontierSize - drainedTotal
@@ -757,7 +773,8 @@ object CrawlEngine {
     RoundResult(newEntries, drainedKeys, seenDelta, robotsDelta, nNewHosts,
       delayDelta, outputs, lineage, stats,
       Seq(drained, outputs, dedupedWithDups, newEntries, robotsDelta,
-        robotsAll))
+        robotsAll),
+      newTallies = if (deferNew) Some(newTallies) else None)
   }
 
   /** Fold pending seen keys into the per-bucket cuckoo filters, growing any
@@ -1040,10 +1057,24 @@ object CrawlEngine {
         else continue = false
       }
       else {
+        // Deferred new-url count (throughput mode — round() ran no counters
+        // job): the commit's seen-delta write IS the probe chain's first
+        // consumer, so writing it here materializes the newEntries cache and
+        // the partition tally carries the count — write + count in ONE job
+        // barrier instead of two. The dir is the one commit() would have
+        // used; it is recorded via `preWritten`, or deleted again when the
+        // round discovered nothing (the old zero-delta skip).
+        val preSeenDir: Option[String] = r.newTallies.map { _ =>
+          val dir = SnapshotStore.deltaDirFor(stateDir, roundNo + 1, "seen")
+          timed("seen-write")(r.seenDelta.toDF().repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(dir))
+          dir
+        }
+        val nNew = r.newTallies.map(_.totals._1).getOrElse(stats.newUrls)
         fetchedTotal += stats.fetched
         extractedTotal += stats.extracted
-        seenTotal += stats.newUrls
-        frontierSize = frontierSize - stats.drained + stats.newUrls
+        seenTotal += nNew
+        frontierSize = frontierSize - stats.drained + nNew
         rmSize += stats.drained
         // snapshot commit (atomic manifest rename); frontier/seen/lineage/
         // robots are append-only deltas — a round writes O(drained + new)
@@ -1053,7 +1084,7 @@ object CrawlEngine {
         // filter fold policy: rewrite the blobs only when pending keys have
         // grown proportional to the seen set (amortized O(1) write per key);
         // otherwise CARRY the previous filters dir untouched.
-        val newPending = pendingKeys + stats.newUrls
+        val newPending = pendingKeys + nNew
         val doFold = newPending > 0 &&
           newPending >= math.max(cfg.foldMinKeys, (cfg.foldFrac * seenTotal).toLong)
         val folded: Option[Dataset[FilterState]] =
@@ -1097,8 +1128,11 @@ object CrawlEngine {
         // zero-row deltas are SKIPPED, not written: a round that discovered
         // nothing new carries the previous adds/seen dirs forward — an empty
         // parquet write is still a full Spark job + commit protocol, and a
-        // drained-to-exhaustion crawl pays it every round otherwise
-        val newsThisRound = stats.newUrls > 0
+        // drained-to-exhaustion crawl pays it every round otherwise. A
+        // pre-written empty seen dir is removed again here.
+        val newsThisRound = nNew > 0
+        if (!newsThisRound) preSeenDir.foreach(d =>
+          graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(d)))
         val frontierDeltas =
           if (compact) Map(
             "frontier_adds" -> (frontier.join(r.drainedKeys, Seq("url_hash"), "left_anti")
@@ -1113,9 +1147,15 @@ object CrawlEngine {
                  SnapshotStore.dirsOf(manifest, "frontier_adds")))
              else Map.empty[String, (DataFrame, Seq[String])])
         val seenDeltas =
-          if (newsThisRound)
+          if (newsThisRound && preSeenDir.isEmpty)
             Map("seen" -> (r.seenDelta.toDF(), SnapshotStore.dirsOf(manifest, "seen")))
           else Map.empty[String, (DataFrame, Seq[String])]
+        val seenPre: Map[String, (String, Seq[String])] =
+          preSeenDir match {
+            case Some(d) if newsThisRound =>
+              Map("seen" -> (d, SnapshotStore.dirsOf(manifest, "seen")))
+            case _ => Map.empty
+          }
         // lineage TABLE rows only in detail mode — in throughput mode the
         // round's global counters live in the manifest itself (fetched /
         // extracted / seen / frontier_size), so the table write is pure
@@ -1150,7 +1190,8 @@ object CrawlEngine {
             "max_delay_ms" -> maxDelay),
           deltas = frontierDeltas ++ robotsDeltas ++ seenDeltas ++ lineageDeltas,
           carry = carry ++ carryDeltas,
-          partitionCols = Map("seen" -> Seq("bucket"))))
+          partitionCols = Map("seen" -> Seq("bucket")),
+          preWritten = seenPre))
         foldedDirs = foldedDirsAfter
         pendingKeys = pendingAfter
         delayRows = delayRowsAfter

@@ -102,7 +102,8 @@ object SnapshotStore {
       counters: Map[String, Long],
       deltas: Map[String, (DataFrame, Seq[String])] = Map.empty,
       carry: Map[String, Seq[String]] = Map.empty,
-      partitionCols: Map[String, Seq[String]] = Map.empty): Manifest = {
+      partitionCols: Map[String, Seq[String]] = Map.empty,
+      preWritten: Map[String, (String, Seq[String])] = Map.empty): Manifest = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -125,9 +126,14 @@ object SnapshotStore {
       }
     }
     // `carry`: tables untouched this commit — record their existing dirs in
-    // the new manifest without writing anything
+    // the new manifest without writing anything. `preWritten`: delta dirs the
+    // caller already wrote for this version (e.g. the seen delta, whose write
+    // job doubles as the round's probe-chain materialization + new-url count)
+    // — recorded like a delta, no second write.
     val dataDirs = Await.result(Future.sequence(writes), Duration.Inf).toMap ++
-      carry.map { case (name, dirs) => name -> dirs.mkString(";") }
+      carry.map { case (name, dirs) => name -> dirs.mkString(";") } ++
+      preWritten.map { case (name, (dir, prevDirs)) =>
+        name -> (prevDirs :+ dir).mkString(";") }
     val m = Manifest(version, dataDirs, counters)
     writeManifest(tableDir, m)
     m
@@ -135,6 +141,12 @@ object SnapshotStore {
 
   def dirsOf(m: Manifest, name: String): Seq[String] =
     m.dataDirs(name).split(";").toSeq
+
+  /** The delta dir `commit(version)` would write for `name` — for callers
+    * that pre-write a delta (see `preWritten`).
+    */
+  def deltaDirFor(tableDir: String, version: Int, name: String): String =
+    Paths.get(tableDir, "data", s"v$version", name).toString
 
   def read(spark: SparkSession, m: Manifest, name: String): DataFrame =
     spark.read.parquet(dirsOf(m, name): _*)

@@ -31,7 +31,10 @@ object RoundProf {
     // plan sees the same cache layout / drain-range partition spread
     val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt
     val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, 256,
-      weight).union(SyntheticWeb.robotsPages(spark, nHosts)).toDF().cache()
+      weight).union(SyntheticWeb.robotsPages(spark, nHosts)).toDF()
+      .repartitionByRange(256, org.apache.spark.sql.functions.col("url"))
+      .sortWithinPartitions("url")
+      .cache()
     pages.count()
     val cuts = SyntheticWeb.fastCuts(nPages.toLong, nHosts)
     val cutsBc = spark.sparkContext.broadcast(cuts)
