@@ -262,7 +262,8 @@ object Bench {
       // way the singles do (r3→r4 committed multi moved 0.625→0.514 on
       // identical code). The peak level (32) runs it once, on its last pass.
       val laterSame = levels.drop(i + 1).count(_._1 == c)
-      val runMulti = if (c == 32) laterSame == 0 else laterSame <= 1
+      val runMulti = (if (c == 32) laterSame == 0 else laterSame <= 1) &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MULTI", "true").toBoolean
       val r = crawlThroughput(c, benchPages, nHosts, trials = t,
         runMulti = runMulti)
       val merged = measured.get(c)
