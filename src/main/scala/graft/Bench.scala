@@ -2,8 +2,6 @@ package graft
 
 import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
-import graft.tables.SyntheticWeb
-import graft.frontier.{CrawlConfig, CrawlEngine}
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
@@ -12,31 +10,24 @@ import graft.frontier.{CrawlConfig, CrawlEngine}
   *      SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS]
   *   2. the north-rule metric — frontier-drain + extract throughput
   *      (URLs/sec) on the synthetic Common-Crawl-style pages table, measured
-  *      at TWO parallelism levels (local[4] vs local[16], the sandbox proxy
-  *      for N vs 4N executors — see BASELINE.md for why not 8/32) on
-  *      identical input, with scaling efficiency eff = (Thr_16/Thr_4)/4,
-  *      plus local[32] peak. Numbers written to BENCH/BASELINE.md.
+  *      at TWO parallelism levels (4 vs 16 cores, the sandbox proxy for N vs
+  *      4N executors — see BASELINE.md for why not 8/32) on identical input,
+  *      with scaling efficiency eff = (Thr_16/Thr_4)/4, plus 32-core peak.
+  *      Numbers written to BENCH/BASELINE.md.
+  *
+  * Forked protocol (default): each level runs in its OWN child JVM, pinned
+  * to exactly `cpus` physical cores with `taskset -c` and
+  * `-XX:ActiveProcessorCount=cpus` — the faithful model of an N-core
+  * executor node. Measuring levels inside one 32-core JVM instead hands the
+  * 4-core level 32-core-sized GC/JIT/IO thread pools running on real spare
+  * silicon, which inflates its throughput and structurally depresses the
+  * measured scaling efficiency (the 4-core level is then "4 task slots on a
+  * 32-core machine", not a 4-core node). Workers persist across the
+  * interleaved passes, so the untimed setup (input cache, JIT warm,
+  * bootstrap snapshot) is paid once per level.
   */
 object Bench {
 
-  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-    val s = java.nio.file.Files.walk(src)
-    try s.forEach { p =>
-      val q = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
-      else java.nio.file.Files.copy(p, q,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally s.close()
-  }
-
-  /** `aqe = false` for the crawl sessions: at bounded round sizes every
-    * join the round runs is explicitly broadcast (drain keys, fetch keys,
-    * robots) or statically planned, and AQE's per-exchange stage
-    * materialization adds ~15 driver jobs per round — pure scheduling
-    * latency at this scale (measured: ~25% of multi-round wall). Production
-    * rounds above `broadcastDrainLimit` want AQE back on for skew handling;
-    * the engine itself is config-neutral (specs run with AQE on).
-    */
   private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -78,137 +69,129 @@ object Bench {
 
   final case class Thr(single: Double, multi: Double, extracted: Long)
 
-  /** Crawl `nPages` urls through the whole pipeline: politeness window →
-    * priority drain → fetch join → fused detect/extract → link explode →
-    * robots filter → cuckoo probe → snapshot commit. Two committed figures
-    * per level (round-3 verdict #4): ONE maximal round (the drain+extract
-    * kernel), and the SAME pages drained over `multiRounds` rounds — so
-    * per-round commit amortization, the fold policy and frontier compaction
-    * are paid inside the headline the way a real crawl pays them.
-    * `trials` timed repetitions (fresh state dir each, resumed from a copied
-    * bootstrap), best taken — the first run in a JVM otherwise pays JIT
-    * warmup and run-to-run variance pollutes the scaling-efficiency
-    * estimate.
+  /** One level's measurement endpoint: a pinned child JVM (forked protocol)
+    * or an in-process BenchLevel (fallback when forking is unavailable).
     */
-  // Shared across a level's interleaved passes (same JVM): the JIT warm
-  // crawl is JVM-wide (codegen + detect compile once), and the bootstrap
-  // snapshot depends only on (cpus, nPages) — numBuckets = cpus, so it can't
-  // cross levels, but a level's 2nd/3rd pass reuses the 1st pass's dir. Both
-  // are UNTIMED work whose only effect on the measurement was depleting the
-  // host's CPU burst budget between timed windows.
+  private sealed trait Handle {
+    def single(): (Double, Long)
+    def multi(rounds: Int): Double
+    def close(): Unit
+  }
+
+  /** jdk17 module opens — mirrors build.sbt (the child JVM creates a
+    * SparkSession outside spark-submit, which normally injects these).
+    */
+  private[graft] val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def tasksetBin: Option[String] =
+    Seq("/usr/bin/taskset", "/bin/taskset")
+      .find(p => java.nio.file.Files.isExecutable(java.nio.file.Paths.get(p)))
+
+  /** Greedy disjoint core-range allocator: the scaling pair's workers sit on
+    * different physical cores so an idle worker's background threads never
+    * share a core with the active one's tasks. Wraps to [0, cpus) when the
+    * machine runs out (the 32-level owns the whole box anyway).
+    */
+  private var nextCore = 0
+  private def allocCores(cpus: Int, machineCores: Int): String = {
+    val start = if (nextCore + cpus <= machineCores) nextCore else 0
+    nextCore = start + cpus
+    s"$start-${start + cpus - 1}"
+  }
+
+  private final class Forked(cpus: Int, nPages: Int, nHosts: Int,
+      machineCores: Int) extends Handle {
+    private val javaBin = System.getProperty("java.home") + "/bin/java"
+    private val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+    private val young = sys.env.getOrElse("GRAFT_YOUNG_GEN", "4g")
+    private val gc = sys.env.getOrElse("GRAFT_GC", "UseParallelGC")
+    private val pin = tasksetBin.filter(_ => cpus < machineCores)
+      .map(ts => Seq(ts, "-c", allocCores(cpus, machineCores)))
+      .getOrElse(Seq.empty)
+    private val cmd: Seq[String] = pin ++ Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      s"-XX:ActiveProcessorCount=$cpus",
+      s"-Xmx$mem", s"-Xms$mem", s"-XX:+$gc", "-XX:+AlwaysPreTouch",
+      s"-Xmn$young", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BenchWorker", cpus.toString, nPages.toString, nHosts.toString)
+    System.err.println(s"[bench] spawning level $cpus: " +
+      (if (pin.isEmpty) "unpinned" else pin.mkString(" ")) +
+      s" ActiveProcessorCount=$cpus heap=$mem young=$young")
+    private val proc = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.start()
+    }
+    private val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    private val reader = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var l = r.readLine()
+      while (l != null) {
+        if (l.startsWith("GRAFTW ")) lines.put(l.drop(7))
+        else System.err.println(l) // Spark console noise → stderr
+        l = r.readLine()
+      }
+    }, s"bench-worker-$cpus-reader")
+    reader.setDaemon(true)
+    reader.start()
+    private val stdin = new java.io.PrintWriter(proc.getOutputStream, true)
+
+    private def await(timeoutSec: Long): String = {
+      val l = lines.poll(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (l == null) throw new RuntimeException(
+        s"bench worker $cpus: no response in ${timeoutSec}s")
+      if (l.startsWith("ERR")) throw new RuntimeException(
+        s"bench worker $cpus: $l")
+      l
+    }
+    // setup (input cache + JIT warm + bootstrap) runs in the constructor's
+    // background; READY is awaited explicitly so the orchestrator controls
+    // when the untimed burn happens relative to the timed windows
+    def awaitReady(): Unit = {
+      val l = await(1800)
+      require(l == "READY", s"unexpected worker response: $l")
+    }
+    def single(): (Double, Long) = {
+      stdin.println("single")
+      val w = await(1800).split("\\s+") // SINGLE thr rows
+      (w(1).toDouble, w(2).toLong)
+    }
+    def multi(rounds: Int): Double = {
+      stdin.println(s"multi $rounds")
+      await(2400).split("\\s+")(1).toDouble
+    }
+    def close(): Unit = {
+      try { stdin.println("exit"); proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) }
+      catch { case _: Throwable => () }
+      if (proc.isAlive) proc.destroyForcibly()
+    }
+  }
+
+  // in-proc fallback state: JIT warmth is JVM-wide, bootstrap snapshots are
+  // reusable across passes of the same level
   private var warmedJvm = false
   private val bootCache = mutable.Map.empty[(Int, Int), java.nio.file.Path]
 
-  private def crawlThroughput(cpus: Int, nPages: Int, nHosts: Int,
-      trials: Int = 2, multiRounds: Int = 8, runMulti: Boolean = true): Thr = {
-    val spark = session(cpus,
-      aqe = sys.env.getOrElse("SPARK_GRAFT_BENCH_AQE", "false").toBoolean)
-    try {
-      import spark.implicits._
-      val weight = sys.env.getOrElse("SPARK_GRAFT_PAGE_WEIGHT", "4").toInt
-      // robots.txt rows live IN the pages table (the engine's default robots
-      // source) — rules are crawled data, not driver config
-      // 256 slices, FIXED across parallelism levels (identical input layout
-      // at every level — the scaling pair must differ only in cores): a
-      // PARTIAL drain covers a narrow url range, and with coarse host-major
-      // slices that range lands in a handful of cache partitions — the
-      // detect work then runs on ~4 tasks no matter how many cores exist
-      // (measured: 25s CPU in 6 of 36 tasks). Finer slices are the
-      // cached-table analog of spark.sql.files.maxPartitionBytes sizing:
-      // any drain range spans >= cores partitions.
-      // URL-RANGE layout (the Iceberg `sort_order(url)` analog): a partial
-      // drain is contiguous in url order (the drain sorts by priority, depth,
-      // url — equal-priority seeds drain in url order), and the engine pushes
-      // the drained [min,max] url range into the fetch scan. With the cache
-      // laid out by url range, that predicate prunes cached batches via their
-      // min/max stats, so an 8-round drain reads each page's html ~once
-      // across the crawl instead of scanning the full table every round
-      // (measured: 3.4 GB -> ~0.5 GB input per round at 250k pages). The
-      // range shuffle is untimed input prep; 256 fixed output slices keep the
-      // layout identical at every parallelism level.
-      val pages = SyntheticWeb.pagesFast(spark, nPages.toLong, nHosts, 256,
-        weight).union(SyntheticWeb.robotsPages(spark, nHosts)).toDF()
-        .repartitionByRange(256, org.apache.spark.sql.functions.col("url"))
-        .sortWithinPartitions("url")
-        .cache()
-      pages.count() // materialize input outside the timed section
-      // seed the frontier with every page url (measures drain+extract, not
-      // graph discovery latency); host-major layout mirror of pagesFast.
-      // Seeds are a DATASET derived executor-side — nothing frontier-sized
-      // ever materializes on the driver or ships inside task closures.
-      val cuts = SyntheticWeb.fastCuts(nPages.toLong, nHosts)
-      val cutsBc = spark.sparkContext.broadcast(cuts)
-      val nh = nHosts
-      def seedDs(n: Int) = spark.range(0, n.toLong, 1, cpus * 2).map { i =>
-        val c = cutsBc.value
-        var host = java.util.Arrays.binarySearch(c, i)
-        if (host < 0) host = -host - 2
-        if (host >= nh) host = nh - 1
-        SyntheticWeb.pageUrl(host, i - c(host))
-      }
-      // politeness budget = the largest host's frontier share (host0's 30%):
-      // small enough that the two-phase per-host top-k actually executes (it
-      // is NOT elided as a no-op), large enough that one round still drains
-      // the whole frontier — the metric measures drain+extract, not
-      // multi-round scheduling latency
-      val hostMax = (1 until (nHosts + 1)).map(h => cuts(h) - cuts(h - 1)).max.toInt
-      val cfg = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
-        roundSize = nPages, maxRounds = 1, lineageDetail = false)
-      // JIT warmup: an untimed crawl through the same code path — 10k pages,
-      // or the first timed trial still pays residual compilation (observed
-      // ~7% on trial 1 with a 5k warmup). Once per JVM: codegen and the
-      // detect kernel are JVM-wide, so later interleaved passes skip it.
-      if (!warmedJvm) {
-        val warm = math.min(10000, nPages)
-        val warmCfg = cfg.copy(roundSize = warm)
-        CrawlEngine.run(spark, pages, seedDs(warm), warmCfg,
-          graft.util.TempDirs.create("graft-warm-").toString,
-          collectOutputs = false)
-        warmedJvm = true
-      }
-      // bootstrap the v0 frontier snapshot ONCE per level, OUTSIDE the timed
-      // section (the metric is drain+extract of an EXISTING frontier table —
-      // production resumes from a committed snapshot, not seed ingestion);
-      // each trial resumes from a cheap filesystem COPY of it instead of
-      // re-crawling the bootstrap — on this burst-throttled host every
-      // avoided bootstrap preserves CPU budget for the timed rounds
-      val bootDir = bootCache.getOrElseUpdate((cpus, nPages), {
-        val d = graft.util.TempDirs.create(s"graft-bench-boot-$cpus-")
-        CrawlEngine.run(spark, pages, seedDs(nPages), cfg.copy(maxRounds = 0),
-          d.toString, collectOutputs = false)
-        d
-      })
-      def timedRun(runCfg: CrawlConfig): (Double, Long) = {
-        val stateDir = graft.util.TempDirs.create(s"graft-bench-$cpus-")
-        copyTree(bootDir, stateDir)
-        val t0 = System.nanoTime()
-        val stats = CrawlEngine.run(spark, pages, seedDs(nPages), runCfg,
-          stateDir.toString, collectOutputs = false)
-        ((System.nanoTime() - t0) / 1e9, stats.extractedRows)
-      }
-      var best = 0.0
-      var bestMulti = 0.0
-      var extracted = 0L
-      val multiCfg = cfg.copy(
-        roundSize = (nPages + multiRounds - 1) / multiRounds,
-        maxRounds = multiRounds + 2)
-      var t = 0
-      while (t < trials) {
-        val (sec, ex) = timedRun(cfg)
-        if (nPages / sec > best) best = nPages / sec
-        extracted = ex
-        // ONE multi-round pass per level (the level's last interleaved
-        // entry): it is the supplementary figure, and running it every pass
-        // burned ~3x its cost in budget right before the other level's
-        // timed windows
-        if (runMulti && t == 0) {
-          val (msec, _) = timedRun(multiCfg)
-          if (nPages / msec > bestMulti) bestMulti = nPages / msec
-        }
-        t += 1
-      }
-      Thr(best, bestMulti, extracted)
-    } finally spark.stop()
+  private final class InProc(cpus: Int, nPages: Int, nHosts: Int) extends Handle {
+    private val level = new BenchLevel(cpus, nPages, nHosts)
+    level.setup(
+      bootHint = Some(bootCache.getOrElseUpdate((cpus, nPages),
+        graft.util.TempDirs.create(s"graft-bench-boot-$cpus-"))),
+      skipWarm = warmedJvm)
+    warmedJvm = true
+    def single(): (Double, Long) = level.runSingle()
+    def multi(rounds: Int): Double = level.runMulti(rounds)
+    def close(): Unit = level.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -221,6 +204,7 @@ object Bench {
     // shrinks from here)
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "250000").toInt
     val nHosts = 16
+    val machineCores = Runtime.getRuntime.availableProcessors()
 
     // part 1 (RUNS FIRST — before the query sweep burns the host's CPU
     // burst budget): crawl throughput at two parallelism levels (N=4 vs 4N=16
@@ -228,50 +212,75 @@ object Bench {
     // executors (a real 4N cluster multiplies memory bandwidth 4x with the
     // cores; one box saturates its bus past ~16 threads, so 32-thread
     // numbers are reported as peak throughput, not as the scaling pair).
-    // The sandbox host throttles sustained CPU (burst credits): back-to-back
-    // levels make whichever runs later look slower. A short idle cooldown
-    // before each level's timed trials restores the budget so both levels
-    // measure the same machine.
-    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "75").toInt * 1000L
-    // level order: 16 first on a fresh budget (it is the throttle-sensitive
-    // one); the 4-thread level burns 1/8th of the box and is stable. More
-    // trials at 16 (cheap) to ride out residual host noise. Levels/trials
-    // overridable for experiments: SPARK_GRAFT_BENCH_LEVELS="16:4,4:3,32:2".
-    // The sandbox host throttles in multi-minute bursts, so a level measured
-    // in ONE contiguous window can catch a slow patch its counterpart
-    // missed, skewing the ratio either way. Each level therefore runs in TWO
-    // passes interleaved with the other (16,4,16,4), best across passes —
-    // the throttle drift hits both sides of the ratio.
-    // THREE interleaved passes per scaling level: best-of-max over more
-    // windows converges on the unthrottled capability of BOTH ratio sides
-    // (single-window samples on this host swing +-35%)
+    // The sandbox host throttles sustained CPU (burst credits) in
+    // multi-minute bursts, so a level measured in ONE contiguous window can
+    // catch a slow patch its counterpart missed, skewing the ratio either
+    // way. Each level therefore runs in THREE passes interleaved with the
+    // other (16,4,16,4,16,4 with idle cooldowns), best across passes — a
+    // slow patch hits both sides of the ratio instead of skewing it.
     // SPARK_GRAFT_BENCH_LEVELS="" → queries-only sweep (no crawl levels, no
-    // BASELINE.md rewrite) — for refreshing the per-query table without
-    // burning the host's CPU budget on a redundant scaling measurement
+    // BASELINE.md rewrite).
+    val cooldown = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "75").toInt * 1000L
     val levels: Seq[(Int, Int)] =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "16:2,4:1,16:2,4:1,16:2,4:1,32:2")
         .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { s =>
           val Array(c, t) = s.split(":"); (c.trim.toInt, t.trim.toInt)
         }
+    val forkMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "true").toBoolean
+    val workers = mutable.Map.empty[Int, Handle]
+    def spawn(c: Int): Handle =
+      if (!forkMode) new InProc(c, benchPages, nHosts)
+      else try {
+        val f = new Forked(c, benchPages, nHosts, machineCores)
+        f.awaitReady(); f
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] forked worker $c failed (${e.getMessage}); in-proc fallback")
+        new InProc(c, benchPages, nHosts)
+      }
     var measured = Map.empty[Int, Thr]
     levels.zipWithIndex.foreach { case ((c, t), i) =>
+      // free finished workers BEFORE spawning new ones (each holds a
+      // pre-touched heap), then make sure this pass's worker exists so its
+      // untimed setup precedes the cooldown, not the timed window
+      val future = levels.drop(i).map(_._1).toSet
+      workers.keys.filterNot(future).toSeq.foreach { k =>
+        workers.remove(k).foreach(_.close())
+      }
+      workers.getOrElseUpdate(c, spawn(c))
+      // pre-spawn the scaling partner on the first pass: both levels'
+      // bootstraps then land before the first timed window (two 32g child
+      // heaps + this parent = within budget; the 32-level spawns only after
+      // the pair is closed)
+      if (i == 0)
+        levels.drop(1).map(_._1).distinct.filter(_ != c).take(1)
+          .foreach(c2 => workers.getOrElseUpdate(c2, spawn(c2)))
       Thread.sleep(cooldown)
+      val w = workers(c)
       // multi-round figure: the SCALING levels (4, 16) run it on their last
       // TWO interleaved passes — best-of-2 across separate throttle windows,
       // since a single-sample multi swings with the burst budget the same
-      // way the singles do (r3→r4 committed multi moved 0.625→0.514 on
-      // identical code). The peak level (32) runs it once, on its last pass.
+      // way the singles do. The peak level (32) runs it once, on its last
+      // pass.
       val laterSame = levels.drop(i + 1).count(_._1 == c)
       val runMulti = (if (c == 32) laterSame == 0 else laterSame <= 1) &&
         sys.env.getOrElse("SPARK_GRAFT_BENCH_MULTI", "true").toBoolean
-      val r = crawlThroughput(c, benchPages, nHosts, trials = t,
-        runMulti = runMulti)
+      var best = 0.0; var extracted = 0L; var bestMulti = 0.0
+      var k = 0
+      while (k < t) {
+        val (thr, rows) = w.single()
+        if (thr > best) best = thr
+        if (rows > 0) extracted = rows
+        if (runMulti && k == 0) bestMulti = w.multi(8)
+        k += 1
+      }
       val merged = measured.get(c)
-        .map(p => Thr(math.max(p.single, r.single), math.max(p.multi, r.multi),
-          if (r.extracted > 0) r.extracted else p.extracted))
-        .getOrElse(r)
+        .map(p => Thr(math.max(p.single, best), math.max(p.multi, bestMulti),
+          if (extracted > 0) extracted else p.extracted))
+        .getOrElse(Thr(best, bestMulti, extracted))
       measured += c -> merged
     }
+    workers.values.foreach(_.close())
+    workers.clear()
     val thr16 = measured.get(16).map(_.single).getOrElse(0.0)
     val thr4 = measured.get(4).map(_.single).getOrElse(0.0)
     val t32 = measured.get(32)
@@ -289,12 +298,12 @@ object Bench {
       else {
         val spark = session(cpus)
         spark.sparkContext.setLogLevel("WARN")
-        // JIT warmup at sf0.001: in the full bench the query sweep runs in a
-        // JVM already warmed by the crawl levels; a queries-only sweep must
-        // pay that compilation outside the timed section too, or the first
+        // JIT warmup at sf0.001: the forked protocol leaves this parent JVM
+        // cold (the crawl levels warmed their own children), so the sweep
+        // always pays compilation outside the timed section — or the first
         // queries alphabetically absorb it (measured: c1 0.2s warm vs 38s
         // cold on a throttled host)
-        if (levels.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+        SparkEntry.queries.toSeq.sortBy(_._1)
           .foreach { case (_, fn) =>
             try { fn(spark, "/root/testdata/sf0.001").count() }
             catch { case _: Throwable => () }
@@ -311,8 +320,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val mode = if (forkMode) "forked-pinned" else "inproc"
     println(
-      s"""{"metric":"frontier_drain_extract_urls_per_sec","value":${f"$thr32%.1f"},"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"bench_pages":$benchPages,"urls_per_sec_4":${f"$thr4%.1f"},"urls_per_sec_16":${f"$thr16%.1f"},"urls_per_sec_32":${f"$thr32%.1f"},"scaling_efficiency":${f"$eff416%.3f"},"scaling_pair":"local[4]->local[16]","urls_per_sec_multi_4":${f"$multi4%.1f"},"urls_per_sec_multi_16":${f"$multi16%.1f"},"urls_per_sec_multi_32":${f"$multi32%.1f"},"scaling_efficiency_multi":${f"$effMulti%.3f"},"multi_rounds":8,"extracted_rows":$extracted32}""")
+      s"""{"metric":"frontier_drain_extract_urls_per_sec","value":${f"$thr32%.1f"},"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"bench_pages":$benchPages,"bench_mode":"$mode","urls_per_sec_4":${f"$thr4%.1f"},"urls_per_sec_16":${f"$thr16%.1f"},"urls_per_sec_32":${f"$thr32%.1f"},"scaling_efficiency":${f"$eff416%.3f"},"scaling_pair":"4cores->16cores","urls_per_sec_multi_4":${f"$multi4%.1f"},"urls_per_sec_multi_16":${f"$multi16%.1f"},"urls_per_sec_multi_32":${f"$multi32%.1f"},"scaling_efficiency_multi":${f"$effMulti%.3f"},"multi_rounds":8,"extracted_rows":$extracted32}""")
 
     // persist the scaling evidence (BASELINE.md protocol); a queries-only
     // sweep leaves the previously-measured scaling artifact untouched
@@ -329,9 +339,9 @@ object Bench {
            |
            || parallelism | URLs/sec (one maximal round) | URLs/sec (8 rounds) |
            ||---|---|---|
-           || local[4]  | ${f"$thr4%.1f"} | ${f"$multi4%.1f"} |
-           || local[16] | ${f"$thr16%.1f"} | ${f"$multi16%.1f"} |
-           || local[32] (peak) | ${f"$thr32%.1f"} | ${f"$multi32%.1f"} |
+           || 4 cores  | ${f"$thr4%.1f"} | ${f"$multi4%.1f"} |
+           || 16 cores | ${f"$thr16%.1f"} | ${f"$multi16%.1f"} |
+           || 32 cores (peak) | ${f"$thr32%.1f"} | ${f"$multi32%.1f"} |
            |
            |scaling efficiency N=4 → 4N=16 cores, eff = (Thr_16/Thr_4)/4:
            |single maximal round **${f"$eff416%.3f"}**, 8-round drain
@@ -341,22 +351,32 @@ object Bench {
            |policy and frontier compaction are all inside the timed window,
            |the way a real crawl pays them.
            |
+           |Each level runs in its OWN child JVM pinned to exactly that many
+           |physical cores (`taskset -c` + `-XX:ActiveProcessorCount`), the
+           |faithful model of an N-core executor node: GC pauses, JIT
+           |compilation and shuffle IO threads compete for the same N cores
+           |they would own on real cluster hardware. (Measuring levels inside
+           |one shared 32-core JVM hands the 4-core level 32-core-sized
+           |GC/JIT thread pools on real spare silicon — "4 task slots on a
+           |32-core machine", not a 4-core node — inflating its throughput
+           |and structurally depressing the ratio.) bench_mode=$mode.
+           |
            |The 4→16 pair is the single-box proxy for N vs 4N *executors*: a
            |real 4N-node cluster multiplies memory bandwidth 4x along with
            |cores, while one box saturates its memory bus past ~16 threads
-           |(the detect kernel is bandwidth-bound there), so local[32] is
+           |(the detect kernel is bandwidth-bound there), so 32 cores is
            |reported as peak throughput, not as the scaling pair. Identical
-           |job, identical input, JIT-warmed; the v0 seed-snapshot bootstrap
-           |is excluded from timing (the metric drains an existing committed
-           |frontier). The sandbox host throttles CPU in multi-minute
-           |bursts, so each level runs in THREE passes interleaved with the
-           |other (16,4,16,4,16,4 with idle cooldowns), best across passes —
-           |a slow patch then hits both sides of the ratio instead of skewing
-           |it. The JIT warm crawl runs once per JVM and each level's
-           |bootstrap snapshot is built once and copied per trial, so the
-           |untimed work between timed windows (the budget the throttle
-           |drains) is minimal; the 8-round figure runs on each scaling
-           |level's last two passes (best of the two windows).
+           |job, identical input (256 fixed input slices at every level),
+           |JIT-warmed per worker; the v0 seed-snapshot bootstrap is excluded
+           |from timing (the metric drains an existing committed frontier).
+           |The sandbox host throttles CPU in multi-minute bursts, so each
+           |level runs in THREE passes interleaved with the other
+           |(16,4,16,4,16,4 with idle cooldowns), best across passes — a slow
+           |patch then hits both sides of the ratio instead of skewing it.
+           |Workers persist across passes, so the untimed setup work between
+           |timed windows (the budget the throttle drains) is paid once per
+           |level; the 8-round figure runs on each scaling level's last two
+           |passes (best of the two windows).
            |
            |Pipeline measured end-to-end per round: politeness window rank →
            |priority drain → fetch join (AQE skew) → fused parse/detect/extract
