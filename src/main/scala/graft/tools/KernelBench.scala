@@ -21,20 +21,32 @@ object KernelBench {
   private val tmx = ManagementFactory.getThreadMXBean
     .asInstanceOf[com.sun.management.ThreadMXBean]
 
-  private def work(htmls: Array[(String, Array[Byte])], from: Int, to: Int): Long = {
+  /** phase: how deep into the kernel to run — isolates each stage's
+    * allocation share (1=parse, 2=+detect, 3=+links, 4=+canonicalize).
+    */
+  private def work(htmls: Array[(String, Array[Byte])], from: Int, to: Int,
+      phase: Int = 4): Long = {
     var sink = 0L
     var i = from
     while (i < to) {
       val (url, html) = htmls(i)
       val doc = HtmlParser.parseBytes(html)
-      val det = Detector.detectDoc(url, doc)
-      val links = Detector.extractLinks(url, doc)
-      var j = 0
-      while (j < links.length) {
-        sink += UrlOps.canonicalParts(links(j))._1.length
-        j += 1
+      sink += doc.size
+      if (phase >= 2) {
+        val det = Detector.detectDoc(url, doc)
+        sink += det.nNodes + det.lists.size
       }
-      sink += det.nNodes + det.lists.size
+      if (phase >= 3) {
+        val links = Detector.extractLinks(url, doc)
+        sink += links.length
+        if (phase >= 4) {
+          var j = 0
+          while (j < links.length) {
+            sink += UrlOps.canonicalParts(links(j))._1.length
+            j += 1
+          }
+        }
+      }
       i += 1
     }
     sink
@@ -57,6 +69,8 @@ object KernelBench {
         SyntheticWeb.pageHtml(host, k, nOnHost, nHosts, weight)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    val phase = args.lift(2).map(_.toInt).getOrElse(4)
+
     // JIT warm
     work(htmls, 0, math.min(2000, nPages))
     work(htmls, 0, math.min(2000, nPages))
@@ -69,7 +83,7 @@ object KernelBench {
         new Thread(() => {
           val id = Thread.currentThread().getId
           val a0 = tmx.getThreadAllocatedBytes(id)
-          work(htmls, ti * chunk, math.min((ti + 1) * chunk, nPages))
+          work(htmls, ti * chunk, math.min((ti + 1) * chunk, nPages), phase)
           alloc.addAndGet(tmx.getThreadAllocatedBytes(id) - a0)
         })
       }
