@@ -53,20 +53,20 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
   val n: Int = nodeIds.length
 
   /** dense index of a node id within nodeIds; -1 when absent (= the
-    * reference's LabelEncoder + nodes_dict miss).
+    * reference's LabelEncoder + nodes_dict miss). Node ids are already
+    * dense document-order ints, so a flat array beats a boxed map.
     */
-  private val idToIdx: java.util.HashMap[Integer, Integer] = {
-    val m = new java.util.HashMap[Integer, Integer](n * 2)
+  private val idToIdx: Array[Int] = {
+    val m = new Array[Int](doc.size)
+    java.util.Arrays.fill(m, -1)
     var i = 0
-    while (i < n) { m.put(nodeIds(i), i); i += 1 }
+    while (i < n) { m(nodeIds(i)) = i; i += 1 }
     m
   }
-  def indexOfId(id: Int): Int = {
-    val v = idToIdx.get(id)
-    if (v == null) -1 else v.intValue()
-  }
+  def indexOfId(id: Int): Int =
+    if (id >= 0 && id < idToIdx.length) idToIdx(id) else -1
   def node(idx: Int): DomNode = doc(nodeIds(idx))
-  def containsId(id: Int): Boolean = idToIdx.containsKey(id)
+  def containsId(id: Int): Boolean = indexOfId(id) >= 0
 
   /** Per node: one-hot feature names restricted to tag/id/class/style
     * (graph_loader.py:148-150 + node.py pseudo-class filter). Single fused
@@ -197,20 +197,29 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
     * (graph_loader.py:263-276): dict parent → discovered children, flattened.
     */
   def descendantsIdx(idx: Int): Array[Int] = {
-    val groups = mutable.LinkedHashMap.empty[Int, mutable.ArrayBuffer[Int]]
-    val visited = mutable.BitSet(idx)
-    def dfs(cur: Int, depth: Int): Unit = {
+    // networkx dfs_successors flattens dict[parent -> discovered children]
+    // in parent-first-insertion order; over a tree (each node has one
+    // parent, parents precede children in index space) that is exactly:
+    // for each expanded node u in preorder, u's children as one group.
+    // Recursion depth is capped at dfsDepth (8); the former
+    // LinkedHashMap/BitSet/flatten chain was per-sampled-item allocation
+    // in candidate scoring and field mining.
+    var out = new Array[Int](16)
+    var len = 0
+    def rec(u: Int, depth: Int): Unit = {
       if (depth >= dfsDepth) return
-      childrenIdx(cur).foreach { c =>
-        if (!visited.contains(c)) {
-          visited += c
-          groups.getOrElseUpdate(cur, mutable.ArrayBuffer.empty) += c
-          dfs(c, depth + 1)
-        }
+      val kids = childrenIdx(u)
+      if (kids.length > 0) {
+        if (len + kids.length > out.length)
+          out = java.util.Arrays.copyOf(out, math.max(out.length * 2, len + kids.length))
+        System.arraycopy(kids, 0, out, len, kids.length)
+        len += kids.length
+        var i = 0
+        while (i < kids.length) { rec(kids(i), depth + 1); i += 1 }
       }
     }
-    dfs(idx, 0)
-    groups.valuesIterator.flatten.toArray
+    rec(idx, 0)
+    java.util.Arrays.copyOf(out, len)
   }
 
   def descendantsOfId(id: Int): Array[Int] = {
@@ -224,14 +233,18 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
   /** node id → has a page-unique feature (membership is all the reference
     * uses; graph_loader.py:421).
     */
-  lazy val uniqueFeatureNodeIds: Set[Int] = {
-    val out = mutable.Set.empty[Int]
+  lazy val uniqueFeatureNodeIds: java.util.BitSet = {
+    val out = new java.util.BitSet(doc.size)
     var i = 0
     while (i < n) {
-      if (rows(i).exists(j => featureCounts(j) == 1)) out += nodeIds(i)
+      val r = rows(i)
+      var j = 0
+      var hit = false
+      while (!hit && j < r.length) { hit = featureCounts(r(j)) == 1; j += 1 }
+      if (hit) out.set(nodeIds(i))
       i += 1
     }
-    out.toSet
+    out
   }
 
   // ---- selector repr + path (graph_loader.py:335-433) ----
@@ -269,10 +282,25 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
     siblings.nonEmpty && siblings.last == nd.id
   }
 
-  private val reprCache = mutable.Map.empty[(Int, Boolean, Boolean), String]
+  // repr cache: one dense String array per (numbered, noId) combo — every
+  // repr'd node is a kept node (selectorPath guards with containsId), and
+  // the former tuple-keyed map boxed a key per lookup on the extract path
+  private val reprCache = new Array[Array[String]](4)
 
-  def selectorRepr(nd: DomNode, numbered: Boolean = true, noId: Boolean = false): String =
-    reprCache.getOrElseUpdate((nd.id, numbered, noId), selectorReprUncached(nd, numbered, noId))
+  def selectorRepr(nd: DomNode, numbered: Boolean = true, noId: Boolean = false): String = {
+    val idx = indexOfId(nd.id)
+    if (idx < 0) return selectorReprUncached(nd, numbered, noId)
+    val slot = (if (numbered) 1 else 0) | (if (noId) 2 else 0)
+    var arr = reprCache(slot)
+    if (arr == null) { arr = new Array[String](n); reprCache(slot) = arr }
+    val hit = arr(idx)
+    if (hit != null) hit
+    else {
+      val s = selectorReprUncached(nd, numbered, noId)
+      arr(idx) = s
+      s
+    }
+  }
 
   private def selectorReprUncached(nd: DomNode, numbered: Boolean, noId: Boolean): String = {
     val fid = nd.featureId.orNull
@@ -307,21 +335,42 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
       numbered: Boolean = true, noId: Boolean = false): String = {
     var nd = startNode
     if (nd.parentId < 0) return selectorRepr(nd, numbered, noId)
-    val path = mutable.ArrayBuffer(selectorRepr(nd, numbered, noId))
+    // collected leaf→root, joined in reverse (the former prepend-to-buffer)
+    var parts = new Array[String](8)
+    var cnt = 0
+    var total = 0
+    def push(s: String): Unit = {
+      if (cnt == parts.length) parts = java.util.Arrays.copyOf(parts, cnt * 2)
+      parts(cnt) = s
+      total += s.length
+      cnt += 1
+    }
+    push(selectorRepr(nd, numbered, noId))
+    val rootId = rootIdOpt.getOrElse(-1)
     var loop = true
     while (loop && nd.parentId >= 0) {
-      val parentOpt = if (containsId(nd.parentId)) Some(doc(nd.parentId)) else None
-      (rootIdOpt, parentOpt) match {
-        case (Some(r), Some(p)) if p.id == r => loop = false
-        case (_, None) => loop = false
-        case (_, Some(p)) if !noId && uniqueFeatureNodeIds.contains(p.id) =>
-          path.insert(0, selectorRepr(p, numbered, noId))
+      val pid = nd.parentId
+      if (!containsId(pid)) loop = false
+      else {
+        val p = doc(pid)
+        if (rootIdOpt.isDefined && p.id == rootId) loop = false
+        else if (!noId && uniqueFeatureNodeIds.get(p.id)) {
+          push(selectorRepr(p, numbered, noId))
           loop = false
-        case (_, Some(p)) =>
-          path.insert(0, selectorRepr(p, numbered, noId))
+        } else {
+          push(selectorRepr(p, numbered, noId))
           nd = p
+        }
       }
     }
-    path.mkString(" > ")
+    if (cnt == 1) return parts(0)
+    val sb = new java.lang.StringBuilder(total + 3 * (cnt - 1))
+    var i = cnt - 1
+    while (i >= 0) {
+      sb.append(parts(i))
+      if (i > 0) sb.append(" > ")
+      i -= 1
+    }
+    sb.toString
   }
 }

@@ -69,15 +69,16 @@ object PlainList {
     val d = prunedCols.length
     if (d == 0 || n == 0) return Array.fill(n)(Array.empty[Double])
 
-    def prunedRow(i: Int): Array[Double] = {
-      val row = new Array[Double](d)
-      g.rows(i).foreach { j => val m = colMap(j); if (m >= 0) row(m) += 1.0 }
-      row
-    }
-    val base = Array.tabulate(n)(prunedRow)
-    // x1 (L1-normalized own features, plain_list.py:143-156) is `base`
-    // normalized IN PLACE — but only after the x2 walk below, which reads
-    // the raw counts; reusing the buffer saves an n×d clone per page.
+    // The page's full matrix x = concat(x1, x2 * ratio) is built in ONE
+    // n×2d buffer: x1 (L1-normalized own features) occupies cols [0,d) and
+    // the walk accumulates x2 directly into cols [d,2d). The per-node raw
+    // count row is never materialized — every node's features are 1.0 at
+    // its pruned columns (nodeFeatureNames is per-node distinct), so the
+    // walk reads them sparsely via g.rows/colMap. Values are bit-identical
+    // to the former base/x2/x chain (same additions per slot in the same
+    // order); the two intermediate n×d matrices were the detect kernel's
+    // largest allocation after the parser.
+    val x = Array.ofDim[Double](n, 2 * d)
 
     // Node2vec neighborhood (plain_list.py:158-173): the reference samples ONE
     // unseeded 8-step uniform walk per node over the child graph (p=q=1 =>
@@ -89,7 +90,6 @@ object PlainList {
     // ends absorbing into a PAD state carrying the last node's features (the
     // -1 quirk, preserved). Deterministic, and feature-isomorphic subtrees get
     // exactly identical vectors — the signal DBSCAN (eps=0.01) needs.
-    val x2 = Array.ofDim[Double](n, d)
     // scratch probability vectors reused across all start nodes (index n =
     // the PAD absorbing state); zero-allocation inner loop
     val PAD = n
@@ -97,9 +97,19 @@ object PlainList {
     val nxt = new Array[Double](n + 1)
     var curTouched = new scala.collection.mutable.ArrayBuffer[Int](64)
     var nxtTouched = new scala.collection.mutable.ArrayBuffer[Int](64)
+    // sparse add of `p * features(node)` into acc cols [d,2d)
+    def accAdd(acc: Array[Double], node: Int, p: Double): Unit = {
+      val fs = g.rows(node)
+      var k = 0
+      while (k < fs.length) {
+        val m = colMap(fs(k))
+        if (m >= 0) acc(d + m) += p
+        k += 1
+      }
+    }
     var i = 0
     while (i < n) {
-      val acc = x2(i)
+      val acc = x(i)
       curTouched.clear()
       cur(i) = 1.0
       curTouched += i
@@ -109,9 +119,7 @@ object PlainList {
         while (t < curTouched.length) {
           val node = curTouched(t)
           val p = cur(node)
-          val row = if (node == PAD) base(n - 1) else base(node)
-          var j = 0
-          while (j < d) { acc(j) += p * row(j); j += 1 }
+          accAdd(acc, if (node == PAD) n - 1 else node, p)
           t += 1
         }
         if (step < EmbedWalkLength) {
@@ -154,19 +162,33 @@ object PlainList {
       }
       i += 1
     }
-    Numeric.l1NormalizeRows(x2)
-
-    // x2 walk done — base's raw counts are no longer needed; it becomes x1
-    val x1 = base
-    Numeric.l1NormalizeRows(x1)
-
-    // concat(x1, x2 * ratio), L2 normalize (plain_list.py:175-188)
-    val x = Array.ofDim[Double](n, 2 * d)
+    // finish each row in place: L1-normalize the x2 slice then apply the
+    // ratio (divide-then-multiply, the former l1NormalizeRows + concat-scale
+    // op order), and write x1 = L1-normalized one-hots (each pruned feature
+    // contributes exactly 1.0, so the L1 norm is the pruned-feature count)
     i = 0
     while (i < n) {
-      System.arraycopy(x1(i), 0, x(i), 0, d)
-      var j = 0
-      while (j < d) { x(i)(d + j) = x2(i)(j) * Node2vecRatio; j += 1 }
+      val row = x(i)
+      var s = 0.0
+      var j = d
+      while (j < 2 * d) { s += math.abs(row(j)); j += 1 }
+      if (s > 0) {
+        j = d
+        while (j < 2 * d) { row(j) = (row(j) / s) * Node2vecRatio; j += 1 }
+      }
+      val fs = g.rows(i)
+      var k = 0
+      var cnt = 0
+      while (k < fs.length) { if (colMap(fs(k)) >= 0) cnt += 1; k += 1 }
+      if (cnt > 0) {
+        val v = 1.0 / cnt.toDouble
+        k = 0
+        while (k < fs.length) {
+          val m = colMap(fs(k))
+          if (m >= 0) row(m) = v
+          k += 1
+        }
+      }
       i += 1
     }
     Numeric.l2NormalizeRows(x)
