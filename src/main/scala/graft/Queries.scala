@@ -417,20 +417,40 @@ object Queries {
     */
   private def m2FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // each doc carries a bit-exact RIFF/WAVE blob (PCM16; varied rate /
+    // channel count; half the corpus gets a LIST/INFO chunk so the decoder
+    // must WALK chunks, not assume fixed offsets) — no audio corpus ships
+    // offline, so only the sample CONTENT is synthetic, the container and
+    // the decode are real (graft.functions.Wav; the m1/BMP pattern)
     val blobs = t(s, d, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        (id, graft.functions.Wav.build(id,
+          sampleRate = 8000 * (1 + (id % 3)).toInt,
+          channels = 1 + (id % 2).toInt,
+          nFrames = 64 + (id % 192).toInt,
+          withInfo = id % 2 == 0))
+      }
+      .toDF("doc_id", "blob")
       .as[(Long, Array[Byte])]
-    val frames = 4
+    val slots = 4
+    // batch-shaped decode over partitions: one decoder per batch, rows
+    // stream through; 4 evenly-spaced frames sampled per blob, and the
+    // emitted sample_value is READ from the decoded PCM data (the oracle
+    // recomputes it closed-form from the corpus construction rule)
     blobs.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
-        val n = bytes.length.toLong
-        (0 until frames).iterator.map { f =>
-          val off = n * f / frames
-          val end = n * (f + 1) / frames
-          (id, f, off, end - off)
+        val m = graft.functions.Wav.decode(bytes)
+        (0 until slots).iterator.map { f =>
+          val frameIdx = m.nFrames.toLong * f / slots
+          (id, f, frameIdx, m.sampleRate, m.channels, m.nFrames,
+            m.nFrames.toLong * 1000 / m.sampleRate,
+            graft.functions.Wav.sample(bytes, m, frameIdx.toInt, 0))
         }
       }
-    }.toDF("doc_id", "frame_idx", "frame_offset", "frame_len")
+    }.toDF("doc_id", "frame_slot", "frame_idx", "sample_rate", "n_channels",
+      "n_frames", "duration_ms", "sample_value")
   }
 
   /** document fingerprint: md5 of whitespace-normalized lowercase text. */
@@ -1065,10 +1085,14 @@ object Queries {
       """SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "m2_frame_sample" ->
-      """SELECT doc_id, f.range::INT AS frame_idx,
-        |  (octet_length(encode(text)) * f.range) // 4 AS frame_offset,
-        |  (octet_length(encode(text)) * (f.range + 1)) // 4
-        |    - (octet_length(encode(text)) * f.range) // 4 AS frame_len
+      """SELECT doc_id, f.range::INT AS frame_slot,
+        |  ((64 + doc_id % 192) * f.range) // 4 AS frame_idx,
+        |  (8000 * (1 + doc_id % 3))::INT AS sample_rate,
+        |  (1 + doc_id % 2)::INT AS n_channels,
+        |  (64 + doc_id % 192)::INT AS n_frames,
+        |  ((64 + doc_id % 192) * 1000) // (8000 * (1 + doc_id % 3)) AS duration_ms,
+        |  ((doc_id * 2654435761 + (((64 + doc_id % 192) * f.range) // 4)
+        |      * (1 + doc_id % 2) * 40503) % 65536 - 32768)::INT AS sample_value
         |FROM documents, range(0, 4) f""".stripMargin,
     "d9_embedding_dedup" ->
       """WITH toksd AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
