@@ -111,12 +111,16 @@ final class PageGraph(val doc: DomDocument, val rootId: Int,
       val nd = doc(id)
       cnt = 0
       add(interned(tagIntern, "tag=", nd.tag))
-      nd.attrs.foreach { case (k, v) =>
+      val fa = nd.attrsFlat
+      var ai = 0
+      while (ai < fa.length) {
+        val k = fa(ai); val v = fa(ai + 1)
         if (k == "class") graft.dom.Ws.tokens(v).foreach { t =>
           if (!t.contains(":")) add(interned(classIntern, "class=", t))
         }
         else if (k == "id") add(interned(idIntern, "id=", v))
         else if (k == "style") add(interned(styleIntern, "style=", v))
+        ai += 2
       }
       java.util.Arrays.copyOf(scratch, cnt)
     }

@@ -45,18 +45,29 @@ final case class DomNode(
     id: Int,
     parentId: Int, // -1 = no parent (document root element)
     tag: String, // lowercased element name
-    attrs: Vector[(String, String)], // source order, keys lowercased, entities decoded
-    content: Vector[DomContent] // direct children: raw text segments + element refs
+    attrsFlat: Array[String], // [k0,v0,k1,v1,...] source order, keys lowercased, entities decoded
+    content: Array[DomContent] // direct children: raw text segments + element refs
 ) {
+  /** Attribute pairs view — the flat array is the storage (one exact-size
+    * allocation per element in the parser, no per-pair tuples on the hot
+    * paths); this Vector materializes lazily for the cold consumers
+    * (serializer, annotate-mode json, specs).
+    */
+  lazy val attrs: Vector[(String, String)] = {
+    val b = Vector.newBuilder[(String, String)]
+    var i = 0
+    while (i < attrsFlat.length) { b += ((attrsFlat(i), attrsFlat(i + 1))); i += 2 }
+    b.result()
+  }
+
   /** First value for `key`, or null — the zero-allocation probe selector
     * matching uses per candidate × simple-selector.
     */
   def attrOrNull(key: String): String = {
     var i = 0
-    while (i < attrs.length) {
-      val kv = attrs(i)
-      if (kv._1 == key) return kv._2
-      i += 1
+    while (i < attrsFlat.length) {
+      if (attrsFlat(i) == key) return attrsFlat(i + 1)
+      i += 2
     }
     null
   }
@@ -84,7 +95,7 @@ final case class DomNode(
     * fields of the reference's node json (graph_loader.py:183-192).
     */
   def directTexts: Vector[String] =
-    content.collect { case TextSeg(t) => t.strip() }.filter(_.nonEmpty)
+    content.iterator.collect { case TextSeg(t) => t.strip() }.filter(_.nonEmpty).toVector
 
   /** Reference `_get_node_text`: single text kept as-is, several joined by a
     * single space, none => null (graph_loader.py:183-192). Single pass, no
@@ -114,9 +125,12 @@ final case class DomNode(
   lazy val rawFeatures: Vector[(String, String)] = {
     val b = Vector.newBuilder[(String, String)]
     b += (("tag", tag))
-    attrs.foreach { case (k, v) =>
+    var i = 0
+    while (i < attrsFlat.length) {
+      val k = attrsFlat(i); val v = attrsFlat(i + 1)
       if (k == "class") Ws.tokens(v).foreach(t => b += ((k, t)))
       else b += ((k, v))
+      i += 2
     }
     b.result()
   }
@@ -134,10 +148,26 @@ final case class DomNode(
     * (node.py:37-45). Lazy: selector matching and the O(n²) numbered-sibling
     * scans probe this repeatedly per node.
     */
-  lazy val featureClasses: Vector[String] =
-    features.collect { case ("class", v) if v.nonEmpty && !v.head.isDigit => v }
+  lazy val featureClasses: Vector[String] = {
+    // = features.collect { case ("class", v) if v.nonEmpty && !v.head.isDigit => v }
+    // derived straight from the flat attrs (class exploded per token, ':'
+    // pseudo-class tokens dropped — the `features` filter — then the
+    // digit-lead filter); skips materializing rawFeatures/features on the
+    // selector hot paths
+    var out: Vector[String] = null
+    var i = 0
+    while (i < attrsFlat.length) {
+      if (attrsFlat(i) == "class") Ws.tokens(attrsFlat(i + 1)).foreach { t =>
+        if (!t.contains(':') && !t.head.isDigit) {
+          if (out == null) out = Vector(t) else out = out :+ t
+        }
+      }
+      i += 2
+    }
+    if (out == null) Vector.empty else out
+  }
 
-  lazy val featureId: Option[String] = features.collectFirst { case ("id", v) => v }
+  lazy val featureId: Option[String] = Option(attrOrNull("id"))
 }
 
 /** A parsed page: nodes indexed by id (id == array index). */

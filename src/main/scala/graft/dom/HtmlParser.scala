@@ -22,6 +22,9 @@ object HtmlParser {
 
   private val RawTextTags = Set("script", "style", "textarea", "title")
 
+  private[dom] val NoAttrs = new Array[String](0) // shared empty flat attrs
+  private[dom] val NoContent = new Array[DomContent](0) // shared empty content
+
   // tags that implicitly close an open element of the same (or listed) tag
   private val ImpliedClose: Map[String, Set[String]] = Map(
     "li" -> Set("li"),
@@ -81,21 +84,31 @@ object HtmlParser {
       val id: Int,
       val parentId: Int,
       val tag: String,
-      val attrs: Vector[(String, String)]) {
-    // small initial capacity: most nodes hold ≤4 content entries, and the
-    // default 16-slot backing array was measurable parse allocation
-    val content = new mutable.ArrayBuffer[DomContent](4)
+      val attrs: Array[String]) { // flat [k,v,...] — see DomNode.attrsFlat
+    // small initial capacity: most nodes hold ≤4 content entries; grown +
+    // trimmed to exact size at close (DomNode.content is an Array now — no
+    // builder, no Vector leaf per node)
+    private var arr = new Array[DomContent](4)
+    private var len = 0
     var textOpen = false // true while the last content entry is a mergeable TextSeg
 
-    def addText(t: String): Unit = {
-      if (textOpen && content.nonEmpty) content(content.length - 1) match {
-        case TextSeg(prev) => content(content.length - 1) = TextSeg(prev + t)
-        case _ => content += TextSeg(t); textOpen = true
-      }
-      else { content += TextSeg(t); textOpen = true }
+    private def append(c: DomContent): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+      arr(len) = c
+      len += 1
     }
-    def addChild(id: Int): Unit = { content += ChildRef(id); textOpen = false }
+    def addText(t: String): Unit = {
+      if (textOpen && len > 0) arr(len - 1) match {
+        case TextSeg(prev) => arr(len - 1) = TextSeg(prev + t)
+        case _ => append(TextSeg(t)); textOpen = true
+      }
+      else { append(TextSeg(t)); textOpen = true }
+    }
+    def addRaw(t: String): Unit = append(TextSeg(t))
+    def addChild(id: Int): Unit = { append(ChildRef(id)); textOpen = false }
     def breakText(): Unit = textOpen = false
+    def result(): Array[DomContent] =
+      if (len == 0) HtmlParser.NoContent else java.util.Arrays.copyOf(arr, len)
   }
 
   def parseBytes(html: Array[Byte]): DomDocument = parse(decodeBytes(html))
@@ -159,7 +172,7 @@ object HtmlParser {
     val tagScratch = new TagScratch // reused across all tags of this parse
     var nextId = 0
 
-    def openNode(tag: String, attrs: Vector[(String, String)]): Building = {
+    def openNode(tag: String, attrs: Array[String]): Building = {
       val parent = if (stack.isEmpty) -1 else stack.last.id
       val b = new Building(nextId, parent, tag, attrs)
       nextId += 1
@@ -228,7 +241,7 @@ object HtmlParser {
                 val end = indexOfIgnoreCase(html, closeSeq, i)
                 val rawEnd = if (end < 0) n else end
                 val raw = html.substring(i, rawEnd)
-                if (raw.nonEmpty) b.content += TextSeg(raw)
+                if (raw.nonEmpty) b.addRaw(raw)
                 if (end < 0) i = n
                 else {
                   val gt = html.indexOf('>', end)
@@ -247,7 +260,7 @@ object HtmlParser {
 
     val arr = new Array[DomNode](finished.length)
     finished.foreach { b =>
-      arr(b.id) = DomNode(b.id, b.parentId, b.tag, b.attrs, b.content.toVector)
+      arr(b.id) = DomNode(b.id, b.parentId, b.tag, b.attrs, b.result())
     }
     new DomDocument(arr)
   }
@@ -271,9 +284,22 @@ object HtmlParser {
     */
   private final class TagScratch {
     var tag: String = _
-    var attrs: Vector[(String, String)] = _
+    var attrs: Array[String] = _
     var selfClosed: Boolean = false
     var after: Int = 0
+    // reusable flat [k,v,...] accumulator: one exact-size copy per attr-ful
+    // tag replaces the per-tag VectorBuilder (32-slot chunk) + per-pair
+    // tuples + Vector leaf of the old representation
+    private var kv = new Array[String](32)
+    private var kvLen = 0
+    def kvClear(): Unit = kvLen = 0
+    def kvAdd(k: String, v: String): Unit = {
+      if (kvLen + 2 > kv.length) kv = java.util.Arrays.copyOf(kv, kv.length * 2)
+      kv(kvLen) = k; kv(kvLen + 1) = v
+      kvLen += 2
+    }
+    def kvResult(): Array[String] =
+      if (kvLen == 0) HtmlParser.NoAttrs else java.util.Arrays.copyOf(kv, kvLen)
 
     private val tbl = new Array[String](128) // linear-probe, power of 2
 
@@ -337,13 +363,8 @@ object HtmlParser {
     var i = start
     while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-' || html.charAt(i) == ':')) i += 1
     val tag = out.lowerName(html, start, i)
-    // lazy: attr-less tags (roughly half a page's elements) never pay the
-    // builder's 32-slot backing array
-    var attrs: scala.collection.immutable.VectorBuilder[(String, String)] = null
-    def addAttr(kv: (String, String)): Unit = {
-      if (attrs == null) attrs = new scala.collection.immutable.VectorBuilder[(String, String)]
-      attrs += kv
-    }
+    out.kvClear()
+    def addAttr(k: String, v: String): Unit = out.kvAdd(k, v)
     var selfClosed = false
     var done = false
     while (!done && i < n) {
@@ -371,22 +392,22 @@ object HtmlParser {
               val q = html.charAt(j)
               val vEnd = html.indexOf(q, j + 1)
               val value = if (vEnd < 0) html.substring(j + 1) else html.substring(j + 1, vEnd)
-              addAttr((name, decodeEntities(value)))
+              addAttr(name, decodeEntities(value))
               i = if (vEnd < 0) n else vEnd + 1
             } else {
               val vStart = j
               while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
-              addAttr((name, decodeEntities(html.substring(vStart, j))))
+              addAttr(name, decodeEntities(html.substring(vStart, j)))
               i = j
             }
           } else {
-            if (name.nonEmpty) addAttr((name, "")) // bare attribute
+            if (name.nonEmpty) addAttr(name, "") // bare attribute
             i = i.max(nameStart + 1)
           }
       }
     }
     out.tag = tag
-    out.attrs = if (attrs == null) Vector.empty else attrs.result()
+    out.attrs = out.kvResult()
     out.selfClosed = selfClosed
     out.after = i
   }
