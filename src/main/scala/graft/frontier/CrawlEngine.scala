@@ -1,6 +1,7 @@
 package graft.frontier
 
 import scala.collection.mutable
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,6 +87,14 @@ final case class CrawlConfig(
     // the stash stays empty at any seen-set size).
     foldMinKeys: Long = 4096,
     foldFrac: Double = 0.2,
+    // seen-probe strategy: when the filter blobs (estimated from the seen
+    // count, upper bound) fit under this budget they are collected once per
+    // fold epoch and BROADCAST, and the probe becomes a codegen'd per-row
+    // lookup fused into the candidate chain — no bucket exchange, no typed
+    // cogroup sort per consumer. Above it (10^10-url frontiers: ~4 B/key of
+    // blobs) the probe stays the co-partitioned cogroup where each task
+    // holds only its bucket's blob. 0 forces the cogroup path everywhere.
+    broadcastFilterLimitBytes: Long = 256L << 20,
     // logical duration of one fetch-schedule round: a host with robots
     // Crawl-delay D is re-drained no sooner than ceil(D / roundTimeMs)
     // rounds after its last drain (C5 host_next_ok state; within a round,
@@ -392,7 +401,8 @@ object CrawlEngine {
       pages: DataFrame, // url, html (+ any other cols)
       robotsSrc: DataFrame, // url, html — pre-filtered to */robots.txt
       cfg: CrawlConfig,
-      retainOutputs: Boolean = true): RoundResult = {
+      retainOutputs: Boolean = true,
+      filtersBc: Option[Broadcast[Array[CuckooFilter]]] = None): RoundResult = {
     import spark.implicits._
 
     // --- crawl-delay gate (C5): hosts inside their politeness window are
@@ -636,26 +646,57 @@ object CrawlEngine {
     // (newEntries), so the cogroup's input shuffles are materialized once by
     // ReuseExchange and only the (cheap) per-bucket probe pass runs per leg —
     // a persist here would cost a dedicated job barrier to build race-free.
-    val probed = allowedCands.groupByKey(_.bucket)
-      .cogroup(filters.groupByKey(_.bucket)) { (b, cs, fs) =>
-        val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
-        cs.map(c => (c, filt.exists(_.contains(c.url_hash))))
-      }
-    // cuckoo MISS: new unless in the not-yet-folded pending seen deltas
-    // (exact, small); the filter has no false negatives for FOLDED keys
-    val cuckooNeg = probed.filter(!_._2).map(_._1)
-    val definiteNew = pendingSeen match {
-      case None => cuckooNeg
-      case Some(p) => cuckooNeg
-        .join(p.select($"url_hash"), Seq("url_hash"), "left_anti")
-        .select(feCols: _*)
-        .as[FrontierEntry]
+    val (definiteNew, fpNew) = filtersBc match {
+      case Some(bc) =>
+        // broadcast fast path (CrawlConfig.broadcastFilterLimitBytes): the
+        // blobs fit in executor memory, so the probe is a codegen'd per-row
+        // lookup ([[graft.functions.CuckooSeen]]) fused into the candidate
+        // chain — no bucket exchange and no typed-cogroup sort. The two
+        // consumers below re-run only this cheap map over the CACHED dedup
+        // output, where the cogroup path re-ran a full object sort per leg
+        // (the dominant GC source of the per-round seen-delta job).
+        val seenFlag =
+          graft.functions.CuckooFunctions.cuckoo_seen(bc, $"bucket", $"url_hash")
+        val ac = allowedCands.toDF()
+        val neg = ac.filter(!seenFlag)
+        val dn = pendingSeen match {
+          case None => neg.select(feCols: _*).as[FrontierEntry]
+          case Some(p) => neg
+            .join(p.select($"url_hash"), Seq("url_hash"), "left_anti")
+            .select(feCols: _*)
+            .as[FrontierEntry]
+        }
+        val fp = ac.filter(seenFlag)
+          .join(seen, Seq("url_hash"), "left_anti")
+          .select(feCols: _*)
+          .as[FrontierEntry]
+        (dn, fp)
+      case None =>
+        // co-partitioned cogroup (the 10^10-scale shape): each task holds
+        // only its own bucket's blob, so total filter bytes are bounded by
+        // cores x one blob, never one heap
+        val probed = allowedCands.groupByKey(_.bucket)
+          .cogroup(filters.groupByKey(_.bucket)) { (b, cs, fs) =>
+            val filt = fs.nextOption().map(f => CuckooFilter.fromBytes(f.cuckoo_bytes))
+            cs.map(c => (c, filt.exists(_.contains(c.url_hash))))
+          }
+        // cuckoo MISS: new unless in the not-yet-folded pending seen deltas
+        // (exact, small); the filter has no false negatives for FOLDED keys
+        val cuckooNeg = probed.filter(!_._2).map(_._1)
+        val dn = pendingSeen match {
+          case None => cuckooNeg
+          case Some(p) => cuckooNeg
+            .join(p.select($"url_hash"), Seq("url_hash"), "left_anti")
+            .select(feCols: _*)
+            .as[FrontierEntry]
+        }
+        // exactness backstop (J5): anti-join ONLY the cuckoo-positive subset
+        val fp = probed.filter(_._2).map(_._1)
+          .join(seen, Seq("url_hash"), "left_anti")
+          .select(feCols: _*)
+          .as[FrontierEntry]
+        (dn, fp)
     }
-    // exactness backstop (J5): anti-join ONLY the cuckoo-positive subset
-    val fpNew = probed.filter(_._2).map(_._1)
-      .join(seen, Seq("url_hash"), "left_anti")
-      .select(feCols: _*)
-      .as[FrontierEntry]
     // new-url count rides the cache materialization as a partition tally —
     // in throughput mode (no counter branches) NO dedicated count job runs:
     // the commit's seen-delta write is the first consumer and materializes
@@ -1021,6 +1062,20 @@ object CrawlEngine {
       SnapshotStore.read(spark, manifest, "robots", robotsSchema)
         .agg(coalesce(max($"crawl_delay_ms"), lit(0L))).as[Long].head())
 
+    // seen-probe broadcast (one per FOLD EPOCH — the blobs only change when
+    // a fold commits): built lazily from the filters table when the
+    // estimated blob bytes fit cfg.broadcastFilterLimitBytes, destroyed on
+    // fold. The estimate is an upper bound (post-rebuild capacity ≤ the next
+    // power of two above 2x the keys), so a 10^10-url frontier (~4 B/key of
+    // blobs) always stays on the co-partitioned cogroup path.
+    var filtersBc: Option[Broadcast[Array[CuckooFilter]]] = None
+    def dropFiltersBc(): Unit = { filtersBc.foreach(_.destroy()); filtersBc = None }
+    def estimatedFilterBytes(): Long = {
+      val perBucket = math.max(cfg.filterCapacityPerBucket,
+        2L * (seenTotal / math.max(1, cfg.numBuckets) + 1))
+      cfg.numBuckets.toLong * CuckooFilter.blobBytesForCapacity(perBucket)
+    }
+
     var continue = true
     while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
       val (frontier, seen, filters, robots, pendingSeen, blockedHosts, delayActive, seenDirs) =
@@ -1044,9 +1099,18 @@ object CrawlEngine {
             else None
           (frontier, seen, filters, robots, pendingSeen, blockedHosts, delayActive, seenDirs)
         }
+      if (filtersBc.isEmpty && cfg.broadcastFilterLimitBytes > 0 &&
+          estimatedFilterBytes() <= cfg.broadcastFilterLimitBytes)
+        timed("filters-bc") {
+          val rows = filters.collect()
+          val n = rows.iterator.map(_.bucket + 1).foldLeft(cfg.numBuckets)(math.max)
+          val arr = new Array[CuckooFilter](n)
+          rows.foreach(fs => arr(fs.bucket) = CuckooFilter.fromBytes(fs.cuckoo_bytes))
+          filtersBc = Some(spark.sparkContext.broadcast(arr))
+        }
       val r = timed("round-build")(round(spark, roundNo, frontier, frontierSize,
         seen, filters, pendingSeen, robots, blockedHosts, delayActive, pages,
-        robotsSrc, cfg, retainOutputs = collectOutputs))
+        robotsSrc, cfg, retainOutputs = collectOutputs, filtersBc = filtersBc))
       val stats = r.stats
       if (stats.drained == 0) {
         r.caches.foreach(_.unpersist())
@@ -1195,6 +1259,8 @@ object CrawlEngine {
         foldedDirs = foldedDirsAfter
         pendingKeys = pendingAfter
         delayRows = delayRowsAfter
+        // the committed blobs changed — next round re-collects them
+        if (doFold) dropFiltersBc()
         timed("unpersist") {
           folded.foreach(_.unpersist())
           delayTable.foreach(_._1.unpersist())
@@ -1204,6 +1270,7 @@ object CrawlEngine {
       }
     }
     robotsSrc.unpersist()
+    dropFiltersBc()
     // counter-tracked (the exact table is the union of committed deltas; the
     // counter avoids an extra count job per run)
     CrawlStats(roundNo, fetchedTotal, extractedTotal, seenTotal)

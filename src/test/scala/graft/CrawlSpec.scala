@@ -132,7 +132,12 @@ class CrawlSpec extends AnyFunSuite {
     val configs = Seq(
       "lazy" -> cfg,
       "eager" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0),
-      "grow" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0, filterCapacityPerBucket = 16))
+      "grow" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0, filterCapacityPerBucket = 16),
+      // broadcastFilterLimitBytes = 0 forces the co-partitioned cogroup
+      // probe (the 10^10-scale path); the other configs take the broadcast
+      // probe — both must land on the simulator's exact seen set
+      "cogroup" -> cfg.copy(foldMinKeys = 1, foldFrac = 0.0,
+        broadcastFilterLimitBytes = 0L))
     for ((label, fcfg) <- configs) {
       val stateDir = java.nio.file.Files.createTempDirectory(s"graft-crawlspec-$label-").toString
       val stats = CrawlEngine.runWithRules(spark, pages, SyntheticWeb.seedUrls(nHosts),
@@ -499,5 +504,34 @@ class CrawlSpec extends AnyFunSuite {
     val blocked = lineage.filter(col("bucket") === -1)
       .agg(sum("robots_blocked")).as[Long].head()
     assert(blocked > 0)
+  }
+
+  test("CuckooSeen expression matches CuckooFilter.contains under codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.frontier.CuckooFilter
+    val rnd = new scala.util.Random(7)
+    val nb = 4
+    val filters = Array.tabulate(nb)(b =>
+      if (b == 3) null // missing bucket row = nothing folded = probe false
+      else CuckooFilter.create(1000))
+    val keys = (0 until 2000).map(_ => rnd.nextLong())
+    keys.zipWithIndex.foreach { case (k, i) =>
+      val b = i % nb
+      if (filters(b) != null && i % 2 == 0) filters(b).add(k)
+    }
+    val bc = spark.sparkContext.broadcast(filters)
+    val rows = keys.zipWithIndex.map { case (k, i) => (i % nb, k) }
+    val df = rows.toDF("bucket", "url_hash")
+    val got = df
+      .withColumn("seen", graft.functions.CuckooFunctions.cuckoo_seen(
+        bc, col("bucket"), col("url_hash")))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    rows.foreach { case (b, k) =>
+      val want = filters(b) != null && filters(b).contains(k)
+      assert(got((b, k)) == want, s"probe mismatch for bucket=$b key=$k")
+    }
+    bc.destroy()
   }
 }
