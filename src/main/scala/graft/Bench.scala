@@ -325,8 +325,10 @@ object Bench {
       s"""{"metric":"frontier_drain_extract_urls_per_sec","value":${f"$thr32%.1f"},"unit":"urls/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.2f"},"bench_pages":$benchPages,"bench_mode":"$mode","urls_per_sec_4":${f"$thr4%.1f"},"urls_per_sec_16":${f"$thr16%.1f"},"urls_per_sec_32":${f"$thr32%.1f"},"scaling_efficiency":${f"$eff416%.3f"},"scaling_pair":"4cores->16cores","urls_per_sec_multi_4":${f"$multi4%.1f"},"urls_per_sec_multi_16":${f"$multi16%.1f"},"urls_per_sec_multi_32":${f"$multi32%.1f"},"scaling_efficiency_multi":${f"$effMulti%.3f"},"multi_rounds":8,"extracted_rows":$extracted32}""")
 
     // persist the scaling evidence (BASELINE.md protocol); a queries-only
-    // sweep leaves the previously-measured scaling artifact untouched
-    if (levels.nonEmpty) try {
+    // sweep — or a smoke run missing either scaling level — leaves the
+    // previously-measured scaling artifact untouched rather than clobbering
+    // the graded numbers with zeros
+    if (levels.nonEmpty && thr4 > 0 && thr16 > 0) try {
       val dir = java.nio.file.Paths.get("BENCH")
       java.nio.file.Files.createDirectories(dir)
       val md =

@@ -1080,7 +1080,12 @@ object CrawlEngine {
     while (continue && roundNo < cfg.maxRounds && frontierSize > 0) {
       val (frontier, seen, filters, robots, pendingSeen, blockedHosts, delayActive, seenDirs) =
         timed("read-state") {
-          val frontier = readFrontier(spark, manifest)
+          // persisted for the round: the adds-minus-tombstones anti-join
+          // (rm grows every round) otherwise recomputes from parquet in
+          // EVERY consumer — the drain-keys collect, job 1's semi-join back,
+          // and compaction rounds' rewrite. First touch is the single-job
+          // drain-keys collect, so the cache populates race-free.
+          val frontier = readFrontier(spark, manifest).persist()
           val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
           val seen = readSeenDirs(spark, seenDirs)
           val filters = SnapshotStore.read(spark, manifest, "filters", filterSchema)
@@ -1113,6 +1118,7 @@ object CrawlEngine {
         robotsSrc, cfg, retainOutputs = collectOutputs, filtersBc = filtersBc))
       val stats = r.stats
       if (stats.drained == 0) {
+        frontier.unpersist()
         r.caches.foreach(_.unpersist())
         // idle round: everything left is inside a crawl-delay window — let
         // the logical clock tick (no commit; deterministic on resume) rather
@@ -1262,6 +1268,7 @@ object CrawlEngine {
         // the committed blobs changed — next round re-collects them
         if (doFold) dropFiltersBc()
         timed("unpersist") {
+          frontier.unpersist()
           folded.foreach(_.unpersist())
           delayTable.foreach(_._1.unpersist())
           r.caches.foreach(_.unpersist())

@@ -64,7 +64,8 @@ object RoundProf {
       private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobStart.put(j.jobId, (j.time,
-          Option(j.properties.getProperty("spark.job.description")).getOrElse("")))
+          j.stageInfos.sortBy(_.stageId).lastOption
+            .map(_.name.takeWhile(_ != '\n').take(60)).getOrElse("")))
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         val s = jobStart.get(j.jobId)
         if (s != null) jobs.add((j.jobId, j.time - s._1, s._2.take(60)))
@@ -81,6 +82,20 @@ object RoundProf {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // driver-side Catalyst phase cost (analysis/optimization/planning): the
+    // per-round plans are rebuilt from scratch, so this is pure per-round
+    // serial driver time that no core count can shrink
+    val phaseNs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val qeCount = new java.util.concurrent.atomic.AtomicLong()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def add(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        qeCount.incrementAndGet()
+        qe.tracker.phases.foreach { case (ph, s) =>
+          phaseNs.merge(ph, (s.endTimeMs - s.startTimeMs) * 1000000L, java.lang.Long.sum(_, _)) }
+      }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = add(qe)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = add(qe)
+    })
     val stateDir = graft.util.TempDirs.create("graft-prof-").toString
     val t0 = System.nanoTime()
     CrawlEngine.run(spark, pages, seeds, cfg, stateDir, collectOutputs = false)
@@ -104,6 +119,12 @@ object RoundProf {
     println(f"jobs: ${js.size}; total job wall ${js.map(_._2).sum / 1000.0}%.1f s")
     js.sortBy(-_._2).take(15).foreach { case (id, ms, d) =>
       println(f"job $id%4d wall $ms%6d ms  $d") }
+    println("---- catalyst phases (driver, summed over actions) ----")
+    println(s"query executions: ${qeCount.get()}")
+    phaseNs.forEach((ph, ns) => println(f"$ph%-16s ${ns / 1e9}%7.2f s"))
+    println("---- jobs by call site ----")
+    js.groupBy(_._3).toSeq.sortBy(-_._2.map(_._2).sum).foreach { case (site, g) =>
+      println(f"${g.size}%3d jobs ${g.map(_._2).sum / 1000.0}%7.2f s  $site") }
     spark.stop()
   }
 }
