@@ -235,35 +235,70 @@ object Queries {
   /** 3-gram word shingles (the dedup unit for minhash/jaccard). */
   private def shinglesCol(c: Column): Column = shinglesOf(tokensCol(c))
 
-  /** MinHash signatures over shingles: per seed b, min over md5(b||':'||sh) —
-    * string-min minhash, identical in any engine with md5. 4 bands, r=1.
+  /** Distinct (doc_id, shingle) relation — the shared input of the minhash /
+    * jaccard family.
+    *
+    * The token array is BOUND in its own projection before the shingle
+    * transform runs: `shinglesOf`'s lambda reads the array via
+    * `element_at(ts, i+2)`, and when `ts` is the raw `split(...)` EXPRESSION
+    * rather than a materialized column, codegen re-runs the regex split of
+    * the whole document for every element access — a hidden per-doc
+    * quadratic measured at ~9x the entire minhash agg (tools/DedupProf:
+    * explode 8.3 s unbound vs 0.65 s bound on sf0.1).
     */
-  private def d5MinhashSig(s: SparkSession, d: String): DataFrame = {
-    val base = t(s, d, "documents")
-      .select(col("doc_id"), explode(array_distinct(shinglesCol(col("text")))).as("sh"))
-    base.groupBy(col("doc_id"))
+  private def shinglesRel(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), tokensCol(col("text")).as("ts"))
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("ts")))).as("sh"))
+
+  /** Same relation WITH per-doc duplicates — enough for the minhash path:
+    * min() over duplicate shingles equals min() over distinct ones, so the
+    * signature agg skips the per-doc `array_distinct` scan.
+    */
+  private def shinglesRelRaw(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), tokensCol(col("text")).as("ts"))
+      .select(col("doc_id"), explode(shinglesOf(col("ts"))).as("sh"))
+
+  /** Per-band string-min minhash over a (doc_id, sh) relation. */
+  private def sigOfSh(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
         min(md5(concat(lit("1:"), col("sh")))).as("sig1"),
         min(md5(concat(lit("2:"), col("sh")))).as("sig2"),
         min(md5(concat(lit("3:"), col("sh")))).as("sig3"))
-  }
+
+  private def bandsOfSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      concat(lit("b0:"), col("sig0")), concat(lit("b1:"), col("sig1")),
+      concat(lit("b2:"), col("sig2")), concat(lit("b3:"), col("sig3")))).as("band"))
+
+  /** Band-bucket candidate pairs from a bands relation: equi-join on the
+    * band key, never all-pairs. The caller checkpoints the signature table —
+    * the self-join's two legs must read a MATERIALIZED table, or each leg
+    * re-runs the whole shingle scan + minhash agg.
+    */
+  private def pairsOfBands(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** MinHash signatures over shingles: per seed b, min over md5(b||':'||sh) —
+    * string-min minhash, identical in any engine with md5. 4 bands, r=1.
+    */
+  private def d5MinhashSig(s: SparkSession, d: String): DataFrame =
+    sigOfSh(shinglesRelRaw(s, d))
 
   /** MinHash-LSH candidate pairs: docs sharing any band signature. The
     * band-bucket join is the 100TB dedup path: shuffle on (band, sig), no
-    * all-pairs comparison.
+    * all-pairs comparison. The signature table is checkpointed (d10's
+    * pipeline shape applied standalone): one row per doc, self-joined.
     */
-  private def d6LshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = d5MinhashSig(s, d)
-    val bands = sig.select(col("doc_id"), explode(array(
-      concat(lit("b0:"), col("sig0")), concat(lit("b1:"), col("sig1")),
-      concat(lit("b2:"), col("sig2")), concat(lit("b3:"), col("sig3")))).as("band"))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+  private def d6LshPairs(s: SparkSession, d: String): DataFrame =
+    pairsOfBands(bandsOfSig(d5MinhashSig(s, d).localCheckpoint()))
 
   /** SimHash (60-bit, from md5 of tokens): bit-majority fingerprint.
     * ONE hash-agg pass with 60 conditional sums — a per-bit explode would
@@ -289,10 +324,12 @@ object Queries {
     * goes O(block²).
     */
   private def d8NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = t(s, d, "documents")
-      .select(col("doc_id"), explode(array_distinct(shinglesCol(col("text")))).as("sh"))
+    // ONE materialized shingle table feeds the signature agg, the per-doc
+    // counts and BOTH intersection legs (the un-checkpointed shape re-ran
+    // the documents scan + shingle explode four times)
+    val sh = shinglesRel(s, d).localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = d6LshPairs(s, d)
+    val pairs = pairsOfBands(bandsOfSig(sigOfSh(sh).localCheckpoint()))
     val inter = pairs
       .join(sh.toDF("doc_a", "sh"), "doc_a")
       .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
@@ -314,14 +351,23 @@ object Queries {
     * candidates + key-joined sparse dot products.
     */
   private def d9EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
-    val toks = t(s, d, "documents")
-      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+    // one scan of documents -> checkpointed token arrays; the exploded
+    // tokens (vectors) and the shingles (LSH blocking) both derive from it,
+    // and the dim-weight table is checkpointed because it feeds the norms
+    // AND both dot-product legs
+    val ta = t(s, d, "documents")
+      .select(col("doc_id"), tokensCol(col("text")).as("ts"))
+      .localCheckpoint()
+    val toks = ta.select(col("doc_id"), explode(col("ts")).as("tok"))
       .withColumn("dim",
         pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"), lit(64)))
     val dims = toks.groupBy(col("doc_id"), col("dim")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val nrm = dims.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val pairs = d6LshPairs(s, d)
+    val sh = ta.select(col("doc_id"),
+      explode(array_distinct(shinglesOf(col("ts")))).as("sh"))
+    val pairs = pairsOfBands(bandsOfSig(sigOfSh(sh).localCheckpoint()))
     val dots = pairs
       .join(dims.toDF("doc_a", "dim", "wa"), "doc_a")
       .join(dims.toDF("doc_b", "dim", "wb"), Seq("doc_b", "dim"))
@@ -352,19 +398,7 @@ object Queries {
     val sh = toks
       .select(col("doc_id"), explode(array_distinct(shinglesOf(col("ts")))).as("sh"))
       .localCheckpoint() // feeds signatures, counts, AND both intersection sides
-    val sig = sh.groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("sig0"),
-        min(md5(concat(lit("1:"), col("sh")))).as("sig1"),
-        min(md5(concat(lit("2:"), col("sh")))).as("sig2"),
-        min(md5(concat(lit("3:"), col("sh")))).as("sig3"))
-    val bands = sig.select(col("doc_id"), explode(array(
-      concat(lit("b0:"), col("sig0")), concat(lit("b1:"), col("sig1")),
-      concat(lit("b2:"), col("sig2")), concat(lit("b3:"), col("sig3")))).as("band"))
-    val pairs = bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = pairsOfBands(bandsOfSig(sigOfSh(sh).localCheckpoint()))
       .localCheckpoint() // candidate set feeds both verify stages
     // verify 1: n-gram Jaccard (key-join on (doc, shingle))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
