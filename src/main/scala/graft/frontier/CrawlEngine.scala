@@ -95,6 +95,20 @@ final case class CrawlConfig(
     // blobs) the probe stays the co-partitioned cogroup where each task
     // holds only its bucket's blob. 0 forces the cogroup path everywhere.
     broadcastFilterLimitBytes: Long = 256L << 20,
+    // seen-table round cache: when the committed seen dirs are UNCHANGED
+    // from the previous round (zero-new steady state — a frontier draining
+    // to exhaustion) and the estimated table size fits this budget, the
+    // exact-backstop anti-join reads a persisted dataset instead of
+    // re-reading the parquet dirs every round. A 10^10-key seen set
+    // (~16 B/key) never qualifies. 0 disables.
+    seenCacheLimitBytes: Long = 4L << 30,
+    // when the PREVIOUS round discovered nothing new, materialize the probe
+    // chain with a count and write the seen delta only if keys actually
+    // appeared — the write-first shape pays a full dynamic-partition parquet
+    // commit per round just to learn the count is zero. Discovery-phase
+    // rounds (nonzero last round) keep write-first: count and delta write in
+    // one job barrier.
+    idleCountFirst: Boolean = true,
     // logical duration of one fetch-schedule round: a host with robots
     // Crawl-delay D is re-drained no sooner than ceil(D / roundTimeMs)
     // rounds after its last drain (C5 host_next_ok state; within a round,
@@ -1070,6 +1084,33 @@ object CrawlEngine {
     // blobs) always stays on the co-partitioned cogroup path.
     var filtersBc: Option[Broadcast[Array[CuckooFilter]]] = None
     def dropFiltersBc(): Unit = { filtersBc.foreach(_.destroy()); filtersBc = None }
+    // zero-new steady-state detector for the count-first seen-delta path;
+    // discovery-optimistic at start (and on resume) so the first round keeps
+    // the one-barrier write-first shape
+    var lastRoundHadNew = true
+    // seen-table round cache (see CrawlConfig.seenCacheLimitBytes): keyed by
+    // the committed dir list, so any commit that adds a seen delta
+    // invalidates it; size-gated off for frontiers whose seen set could not
+    // sit in block storage
+    var seenCacheKey: Seq[String] = null
+    var seenCacheDs: Dataset[SeenEntry] = null
+    def dropSeenCache(): Unit = {
+      if (seenCacheDs != null) seenCacheDs.unpersist()
+      seenCacheDs = null; seenCacheKey = null
+    }
+    def cachedSeen(dirs: Seq[String],
+        fresh: => Dataset[SeenEntry]): Dataset[SeenEntry] = {
+      val fits = cfg.seenCacheLimitBytes > 0 &&
+        seenTotal * 16L <= cfg.seenCacheLimitBytes
+      if (!fits) { dropSeenCache(); fresh }
+      else if (seenCacheKey == dirs && seenCacheDs != null) seenCacheDs
+      else {
+        dropSeenCache()
+        seenCacheDs = fresh.persist()
+        seenCacheKey = dirs
+        seenCacheDs
+      }
+    }
     def estimatedFilterBytes(): Long = {
       val perBucket = math.max(cfg.filterCapacityPerBucket,
         2L * (seenTotal / math.max(1, cfg.numBuckets) + 1))
@@ -1087,7 +1128,7 @@ object CrawlEngine {
           // drain-keys collect, so the cache populates race-free.
           val frontier = readFrontier(spark, manifest).persist()
           val seenDirs = SnapshotStore.dirsOf(manifest, "seen")
-          val seen = readSeenDirs(spark, seenDirs)
+          val seen = cachedSeen(seenDirs, readSeenDirs(spark, seenDirs))
           val filters = SnapshotStore.read(spark, manifest, "filters", filterSchema)
             .as[FilterState]
           val robots = SnapshotStore.read(spark, manifest, "robots", robotsSchema)
@@ -1134,13 +1175,34 @@ object CrawlEngine {
         // barrier instead of two. The dir is the one commit() would have
         // used; it is recorded via `preWritten`, or deleted again when the
         // round discovered nothing (the old zero-delta skip).
-        val preSeenDir: Option[String] = r.newTallies.map { _ =>
-          val dir = SnapshotStore.deltaDirFor(stateDir, roundNo + 1, "seen")
-          timed("seen-write")(r.seenDelta.toDF().repartition(col("bucket"))
-            .write.mode("overwrite").partitionBy("bucket").parquet(dir))
-          dir
+        // EXCEPT in the zero-new steady state (idleCountFirst + the previous
+        // round found nothing): a frontier draining to exhaustion would pay
+        // a full dynamic-partition parquet commit EVERY round just to learn
+        // the count is zero — there, materialize the cache with a bare
+        // count and write the delta (from the now-cached rows, cheap) only
+        // when keys actually appeared. One-round lag: a discovery burst
+        // after an idle stretch pays one extra job barrier, then write-first
+        // resumes.
+        val countFirst = cfg.idleCountFirst && !lastRoundHadNew
+        var preSeenDir: Option[String] = None
+        r.newTallies.foreach { _ =>
+          if (countFirst) {
+            timed("seen-count")(r.seenDelta.count())
+            if (r.newTallies.exists(_.totals._1 > 0)) {
+              val dir = SnapshotStore.deltaDirFor(stateDir, roundNo + 1, "seen")
+              timed("seen-write")(r.seenDelta.toDF().repartition(col("bucket"))
+                .write.mode("overwrite").partitionBy("bucket").parquet(dir))
+              preSeenDir = Some(dir)
+            }
+          } else {
+            val dir = SnapshotStore.deltaDirFor(stateDir, roundNo + 1, "seen")
+            timed("seen-write")(r.seenDelta.toDF().repartition(col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(dir))
+            preSeenDir = Some(dir)
+          }
         }
         val nNew = r.newTallies.map(_.totals._1).getOrElse(stats.newUrls)
+        lastRoundHadNew = nNew > 0
         fetchedTotal += stats.fetched
         extractedTotal += stats.extracted
         seenTotal += nNew
@@ -1278,6 +1340,7 @@ object CrawlEngine {
     }
     robotsSrc.unpersist()
     dropFiltersBc()
+    dropSeenCache()
     // counter-tracked (the exact table is the union of committed deltas; the
     // counter avoids an extra count job per run)
     CrawlStats(roundNo, fetchedTotal, extractedTotal, seenTotal)

@@ -46,9 +46,14 @@ object ProbeAB {
     val base = CrawlConfig(numBuckets = cpus, hostBudgetPerRound = hostMax,
       roundSize = (nPages + rounds - 1) / rounds, maxRounds = rounds + 2,
       lineageDetail = false)
-    val cfgs = Seq(
-      "broadcast" -> base,
-      "cogroup" -> base.copy(broadcastFilterLimitBytes = 0L))
+    val cfgs = sys.env.getOrElse("GRAFT_AB_MODE", "probe") match {
+      case "roundcost" => Seq( // seen cache + count-first vs the old shape
+        "new" -> base,
+        "old" -> base.copy(seenCacheLimitBytes = 0L, idleCountFirst = false))
+      case _ => Seq(
+        "broadcast" -> base,
+        "cogroup" -> base.copy(broadcastFilterLimitBytes = 0L))
+    }
 
     // warm both code paths (JIT + codegen), untimed
     for ((_, cfg) <- cfgs)
