@@ -315,6 +315,34 @@ class CrawlSpec extends AnyFunSuite {
     assert(fullSeen == resumedSeen)
   }
 
+  test("drain-to-exhaustion writes no empty seen deltas (count-first steady state)") {
+    import spark.implicits._
+    val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF().cache()
+    // seed every page PLUS every extractable link, so each round's
+    // discovered candidates are all dups: after the bootstrap the crawl is a
+    // pure drain, and the engine must carry the bootstrap's single seen dir
+    // forward without committing a new (empty) delta dir per round
+    val allUrls = (pageMap.keys.toSeq ++ pageMap.flatMap { case (u, html) =>
+      Detector.extractLinks(u, HtmlParser.parseBytes(html))
+        .map(UrlOps.canonicalize)
+    }).distinct.filter(!_.endsWith("/robots.txt"))
+    val drainCfg = cfg.copy(roundSize = 8, hostBudgetPerRound = 100, maxRounds = 16)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-drain-").toString
+    val stats = CrawlEngine.runWithRules(spark, pages, allUrls, robots, drainCfg, stateDir)
+    assert(stats.fetched > 0)
+    val m = SnapshotStore.latestManifest(stateDir).get
+    val seenDirs = SnapshotStore.dirsOf(m, "seen")
+    assert(seenDirs.length == 1,
+      s"pure drain must not accumulate seen delta dirs, got ${seenDirs.length}")
+    // and the seen set is exactly the robots-allowed seeds
+    val seen = CrawlEngine.readSeenDirs(spark, seenDirs)
+      .select("url_hash").as[Long].collect().toSet
+    val rules = robots.map(r => r.host -> r).toMap
+    val expected = allUrls.map(UrlOps.canonicalize).distinct
+      .filter(ruleAllows(rules, _)).map(UrlOps.fnv1a64).toSet
+    assert(seen == expected)
+  }
+
   test("P14: test-mode skips seed urls containing 'example'") {
     import spark.implicits._
     val pages = SyntheticWeb.pagesFast(spark, nPages, nHosts, 4).toDF()
