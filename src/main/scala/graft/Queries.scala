@@ -504,13 +504,18 @@ object Queries {
       aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
     val norm = (x: Column) =>
       sqrt(aggregate(x, lit(0.0), (acc, z) => acc + z * z))
+    // norms are per-VECTOR, not per-pair: bind them as columns before the
+    // cross join so each is computed once per row, not once per (query,
+    // candidate) pair (5x the corpus for the candidate side)
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qn"))
     val c = emb.filter(col("vec_id") >= 5)
+      .withColumn("vn", norm(col("v")))
     // broadcast the SMALL side (the 5-row query set); the candidate corpus
     // streams through the scan — at 100TB the corpus must never be broadcast
     val scored = c.join(broadcast(q))
-      .withColumn("cos", round(dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v"))), 6))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qn") * col("vn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
